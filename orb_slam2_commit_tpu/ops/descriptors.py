@@ -1,0 +1,147 @@
+"""Keypoint orientation (intensity centroid) + rotated BRIEF descriptors.
+
+TPU-native replacement for the reference's IC_Angle + computeOrbDescriptor
+(reference: src/ORBextractor.cc:77-152). Both are formulated as batched
+patch gathers over the whole keypoint set — no per-keypoint loops.
+
+The 256-pair sampling pattern is NOT the reference's learned table
+(src/ORBextractor.cc:155-413); it is generated deterministically from the
+original BRIEF recipe (isotropic Gaussian, sigma = patch/5, fixed seed).
+Descriptors only ever match against descriptors from this same engine (the
+vocabulary is trained on them too), so internal consistency is what
+matters, not bit-compatibility with OpenCV.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+HALF_PATCH_SIZE = 15
+PATCH_SIZE = 31
+N_BITS = 256
+N_WORDS = 8  # 256 bits packed into 8 x uint32
+
+
+@functools.lru_cache()
+def circular_umax() -> np.ndarray:
+    """Max |x| per |y| row of the radius-15 circular patch, symmetric in the
+    same way as the reference ctor (src/ORBextractor.cc:470-489)."""
+    hp = HALF_PATCH_SIZE
+    umax = np.zeros(hp + 2, dtype=np.int32)
+    vmax = int(np.floor(hp * np.sqrt(2.0) / 2 + 1))
+    vmin = int(np.ceil(hp * np.sqrt(2.0) / 2))
+    for v in range(vmax + 1):
+        umax[v] = int(round(np.sqrt(hp * hp - v * v)))
+    v0 = 0
+    for v in range(hp, vmin - 1, -1):
+        while umax[v0] == umax[v0 + 1]:
+            v0 += 1
+        umax[v] = v0
+        v0 += 1
+    return umax[: hp + 1]
+
+
+@functools.lru_cache()
+def _circular_mask() -> np.ndarray:
+    """[31, 31] 0/1 mask of the intensity-centroid patch."""
+    umax = circular_umax()
+    mask = np.zeros((PATCH_SIZE, PATCH_SIZE), dtype=np.float32)
+    for dy in range(-HALF_PATCH_SIZE, HALF_PATCH_SIZE + 1):
+        u = umax[abs(dy)]
+        mask[dy + HALF_PATCH_SIZE, HALF_PATCH_SIZE - u : HALF_PATCH_SIZE + u + 1] = 1.0
+    return mask
+
+
+@functools.lru_cache()
+def brief_pattern() -> np.ndarray:
+    """[256, 2, 2] int32 sampling pairs ((x0, y0), (x1, y1)).
+
+    Deterministic BRIEF-style pattern: Gaussian(0, patch/5) offsets clipped
+    to +/-13, seeded RNG, duplicate pairs rejected.
+    """
+    rng = np.random.default_rng(20260817)
+    sigma = PATCH_SIZE / 5.0
+    pairs = []
+    seen = set()
+    while len(pairs) < N_BITS:
+        p = np.clip(np.round(rng.normal(0.0, sigma, size=4)), -13, 13).astype(np.int32)
+        key = tuple(p)
+        if key in seen or (p[0] == p[2] and p[1] == p[3]):
+            continue
+        seen.add(key)
+        pairs.append(p)
+    return np.asarray(pairs, dtype=np.int32).reshape(N_BITS, 2, 2)
+
+
+def gather_patches(
+    image: jnp.ndarray, yx: jnp.ndarray, half: int = HALF_PATCH_SIZE
+) -> jnp.ndarray:
+    """Gather [N, 2*half+1, 2*half+1] patches centered at integer yx[N, 2]."""
+    h, w = image.shape
+    size = 2 * half + 1
+    dy = jnp.arange(-half, half + 1)
+    dx = jnp.arange(-half, half + 1)
+    ys = jnp.clip(yx[:, 0, None] + dy[None, :], 0, h - 1)  # [N, size]
+    xs = jnp.clip(yx[:, 1, None] + dx[None, :], 0, w - 1)
+    flat = ys[:, :, None] * w + xs[:, None, :]  # [N, size, size]
+    return jnp.take(image.reshape(-1), flat.reshape(-1), axis=0).reshape(
+        -1, size, size
+    )
+
+
+def ic_angle(image: jnp.ndarray, yx: jnp.ndarray) -> jnp.ndarray:
+    """Intensity-centroid orientation, radians in (-pi, pi].
+
+    Oracle: IC_Angle (src/ORBextractor.cc:77-105): m10 = sum x*I,
+    m01 = sum y*I over the circular patch; angle = atan2(m01, m10).
+    """
+    patches = gather_patches(image, yx)  # [N, 31, 31]
+    mask = jnp.asarray(_circular_mask())
+    coords = jnp.arange(-HALF_PATCH_SIZE, HALF_PATCH_SIZE + 1, dtype=image.dtype)
+    masked = patches * mask[None]
+    m10 = jnp.sum(masked * coords[None, None, :], axis=(1, 2))
+    m01 = jnp.sum(masked * coords[None, :, None], axis=(1, 2))
+    return jnp.arctan2(m01, m10)
+
+
+def brief_descriptors(
+    blurred: jnp.ndarray, yx: jnp.ndarray, angle: jnp.ndarray
+) -> jnp.ndarray:
+    """Rotation-steered BRIEF, packed [N, 8] uint32.
+
+    Oracle: computeOrbDescriptor (src/ORBextractor.cc:110-152): each pattern
+    point p is steered to (round(px*cos - py*sin), round(px*sin + py*cos))
+    and bit i = I(p0) < I(p1).
+    """
+    h, w = blurred.shape
+    pattern = jnp.asarray(brief_pattern())  # [256, 2, 2] (x, y) pairs
+    px = pattern[..., 0].astype(blurred.dtype)  # [256, 2]
+    py = pattern[..., 1].astype(blurred.dtype)
+
+    ca = jnp.cos(angle)[:, None, None]  # [N, 1, 1]
+    sa = jnp.sin(angle)[:, None, None]
+    # Column/row offsets after steering (reference GET_VALUE).
+    off_x = jnp.round(px[None] * ca - py[None] * sa).astype(jnp.int32)  # [N, 256, 2]
+    off_y = jnp.round(px[None] * sa + py[None] * ca).astype(jnp.int32)
+
+    ys = jnp.clip(yx[:, 0, None, None] + off_y, 0, h - 1)
+    xs = jnp.clip(yx[:, 1, None, None] + off_x, 0, w - 1)
+    flat = (ys * w + xs).reshape(-1)
+    vals = jnp.take(blurred.reshape(-1), flat, axis=0).reshape(-1, N_BITS, 2)
+
+    bits = (vals[..., 0] < vals[..., 1]).astype(jnp.uint32)  # [N, 256]
+    bits = bits.reshape(-1, N_WORDS, 32)
+    shifts = jnp.arange(32, dtype=jnp.uint32)
+    return jnp.sum(bits << shifts[None, None, :], axis=-1, dtype=jnp.uint32)
+
+
+def unpack_bits(desc: jnp.ndarray) -> jnp.ndarray:
+    """[N, 8] uint32 -> [N, 256] 0/1 (bit i of word j -> column 32*j + i)."""
+    shifts = jnp.arange(32, dtype=jnp.uint32)
+    bits = (desc[:, :, None] >> shifts[None, None, :]) & jnp.uint32(1)
+    return bits.reshape(desc.shape[0], N_BITS)

@@ -1,0 +1,185 @@
+"""FAST-9/16 corner detection as whole-image vectorized ops.
+
+TPU-native replacement for the reference's per-cell cv::FAST calls
+(reference: src/ORBextractor.cc:851-915). Instead of scalar loops over
+30x30 cells, the segment test runs on the whole image at once via 16
+rolled copies and bit-mask run detection on the VPU; the two-threshold
+fallback (iniThFAST -> minThFAST when a cell is empty) is reproduced with
+a per-cell reduction.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+# The 16-pixel Bresenham circle of radius 3, (row, col) offsets, starting at
+# the top and proceeding clockwise — the standard FAST ordering.
+CIRCLE_OFFSETS = np.array(
+    [
+        (-3, 0), (-3, 1), (-2, 2), (-1, 3),
+        (0, 3), (1, 3), (2, 2), (3, 1),
+        (3, 0), (3, -1), (2, -2), (1, -3),
+        (0, -3), (-1, -3), (-2, -2), (-3, -1),
+    ],
+    dtype=np.int32,
+)
+
+ARC_LENGTH = 9  # FAST-9: contiguous arc of >= 9 pixels.
+
+
+def _circle_stack(image: jnp.ndarray) -> jnp.ndarray:
+    """[16, H, W] rolled copies so stack[i, y, x] = image[y + dy_i, x + dx_i].
+
+    Border wrap-around from roll is harmless: callers mask a border of
+    >= 3 px (the extractor masks edge_threshold - 3 = 16 px).
+    """
+    return jnp.stack(
+        [
+            jnp.roll(image, shift=(-int(dy), -int(dx)), axis=(0, 1))
+            for dy, dx in CIRCLE_OFFSETS
+        ],
+        axis=0,
+    )
+
+
+def _has_arc(mask16: jnp.ndarray) -> jnp.ndarray:
+    """True where the 16-bit circular mask has a run of >= ARC_LENGTH ones.
+
+    mask16: int32 [..., ] with bits 0..15 set. Doubles the mask to handle
+    wrap-around, then collapses runs with log-step AND-shifts.
+    """
+    m = mask16 | (mask16 << 16)
+    r = m & (m >> 1)      # run >= 2
+    r = r & (r >> 2)      # run >= 4
+    r = r & (r >> 4)      # run >= 8
+    r = r & (m >> 8)      # run >= 9
+    return (r & 0xFFFF) != 0
+
+
+def fast_score_map(
+    image: jnp.ndarray, threshold: float
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """FAST-9/16 segment test over the whole image.
+
+    Returns (corner_mask[H, W] bool, score[H, W] float32). The score is the
+    sum of |p_i - c| - t over the stronger of the bright/dark sets — the
+    same flavor of V-score OpenCV uses for FAST non-max suppression.
+    """
+    stack = _circle_stack(image)
+    center = image[None]
+    d = stack - center
+    bright = d > threshold
+    dark = d < -threshold
+
+    weights = (1 << jnp.arange(16, dtype=jnp.int32))[:, None, None]
+    bright_bits = jnp.sum(bright.astype(jnp.int32) * weights, axis=0)
+    dark_bits = jnp.sum(dark.astype(jnp.int32) * weights, axis=0)
+
+    is_corner = _has_arc(bright_bits) | _has_arc(dark_bits)
+
+    bright_score = jnp.sum(jnp.maximum(d - threshold, 0.0), axis=0)
+    dark_score = jnp.sum(jnp.maximum(-d - threshold, 0.0), axis=0)
+    score = jnp.maximum(bright_score, dark_score)
+    return is_corner, jnp.where(is_corner, score, 0.0)
+
+
+def nms_3x3(score: jnp.ndarray) -> jnp.ndarray:
+    """Keep strict local maxima of a 3x3 neighborhood (ties broken toward the
+    raster-first pixel via an index epsilon, so exactly one survivor per
+    plateau)."""
+    h, w = score.shape
+    # Tiny raster-order tie-break so equal-score neighbors don't both survive.
+    eps = jnp.arange(h * w, dtype=score.dtype).reshape(h, w) * 1e-7
+    s = jnp.where(score > 0, score - eps, 0.0)
+    neighborhood = jax.lax.reduce_window(
+        s, -jnp.inf, jax.lax.max, (3, 3), (1, 1), "SAME"
+    )
+    return jnp.where((s >= neighborhood) & (score > 0), score, 0.0)
+
+
+def two_threshold_scores(
+    image: jnp.ndarray,
+    ini_threshold: float,
+    min_threshold: float,
+    cell_size: int,
+) -> jnp.ndarray:
+    """Two-threshold FAST with per-cell fallback, after 3x3 NMS.
+
+    Mirrors the reference's retry logic (src/ORBextractor.cc:892-915): each
+    cell first tries iniThFAST; only cells with no corner at the high
+    threshold accept the low-threshold corners.
+    """
+    _, score_hi = fast_score_map(image, ini_threshold)
+    _, score_lo = fast_score_map(image, min_threshold)
+
+    h, w = image.shape
+    pad_h = (-h) % cell_size
+    pad_w = (-w) % cell_size
+
+    hi_p = jnp.pad(score_hi, ((0, pad_h), (0, pad_w)))
+    cells = hi_p.reshape(
+        (h + pad_h) // cell_size, cell_size, (w + pad_w) // cell_size, cell_size
+    )
+    cell_has_hi = jnp.max(cells, axis=(1, 3)) > 0
+    cell_has_hi_full = jnp.repeat(
+        jnp.repeat(cell_has_hi, cell_size, axis=0), cell_size, axis=1
+    )[:h, :w]
+
+    score = jnp.where(cell_has_hi_full, score_hi, score_lo)
+    return nms_3x3(score)
+
+
+def select_keypoints(
+    score: jnp.ndarray,
+    n_keypoints: int,
+    cell_size: int,
+    cell_top_k: int,
+    border: int,
+) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+    """Spatially-balanced top-N selection with static output shapes.
+
+    The TPU stand-in for the reference's quadtree DistributeOctTree
+    (src/ORBextractor.cc:562-815): cap each cell at cell_top_k best
+    responses, then take the global best n_keypoints of the survivors.
+    Returns (yx[n, 2] int32, response[n] float32, valid[n] bool).
+    """
+    h, w = score.shape
+    ys = jnp.arange(h)[:, None]
+    xs = jnp.arange(w)[None, :]
+    in_border = (
+        (ys >= border) & (ys < h - border) & (xs >= border) & (xs < w - border)
+    )
+    score = jnp.where(in_border, score, 0.0)
+
+    pad_h = (-h) % cell_size
+    pad_w = (-w) % cell_size
+    hp, wp = h + pad_h, w + pad_w
+    sp = jnp.pad(score, ((0, pad_h), (0, pad_w)))
+    n_cy, n_cx = hp // cell_size, wp // cell_size
+
+    # [n_cells, cell_size * cell_size] with recoverable flat indices.
+    cells = sp.reshape(n_cy, cell_size, n_cx, cell_size)
+    cells = cells.transpose(0, 2, 1, 3).reshape(n_cy * n_cx, cell_size * cell_size)
+    cell_vals, cell_arg = jax.lax.top_k(cells, cell_top_k)
+
+    # Recover padded-image flat indices for each per-cell winner.
+    cell_ids = jnp.arange(n_cy * n_cx)[:, None]
+    cy, cx = cell_ids // n_cx, cell_ids % n_cx
+    iy = cy * cell_size + cell_arg // cell_size
+    ix = cx * cell_size + cell_arg % cell_size
+    flat_idx = (iy * wp + ix).reshape(-1)
+    flat_vals = cell_vals.reshape(-1)
+
+    top_vals, top_pos = jax.lax.top_k(flat_vals, n_keypoints)
+    top_idx = flat_idx[top_pos]
+    yx = jnp.stack([top_idx // wp, top_idx % wp], axis=-1).astype(jnp.int32)
+    valid = top_vals > 0
+    # Park invalid slots at the patch-safe border so downstream gathers are
+    # in-bounds without per-element clamping.
+    yx = jnp.where(valid[:, None], yx, jnp.array([border, border], dtype=jnp.int32))
+    return yx, jnp.where(valid, top_vals, 0.0), valid
