@@ -1,0 +1,86 @@
+"""Pinhole camera projection / distortion ops.
+
+Replaces the reference's scattered cv:: camera math: projection in
+isInFrustum (reference: src/Frame.cc:315-378), cv::undistortPoints usage in
+UndistortKeyPoints (src/Frame.cc:471-506), and stereo back-projection
+(src/Frame.cc:823-839). All batched jnp functions.
+"""
+
+from __future__ import annotations
+
+import jax.numpy as jnp
+
+from orb_slam2_commit_tpu.utils.config import CameraConfig
+
+
+def project(points_cam: jnp.ndarray, cam: CameraConfig) -> jnp.ndarray:
+    """Camera-frame points [..., 3] -> pixel coords [..., 2] (no distortion:
+    keypoints are undistorted once at extraction, the reference's convention)."""
+    z = points_cam[..., 2]
+    inv_z = 1.0 / jnp.where(jnp.abs(z) > 1e-9, z, 1e-9)
+    u = cam.fx * points_cam[..., 0] * inv_z + cam.cx
+    v = cam.fy * points_cam[..., 1] * inv_z + cam.cy
+    return jnp.stack([u, v], axis=-1)
+
+
+def project_stereo(points_cam: jnp.ndarray, cam: CameraConfig) -> jnp.ndarray:
+    """[..., 3] -> (u_left, v, u_right) for stereo residuals
+    (reference: g2o EdgeStereoSE3ProjectXYZ, types_six_dof_expmap.h:122-127)."""
+    uv = project(points_cam, cam)
+    z = points_cam[..., 2]
+    inv_z = 1.0 / jnp.where(jnp.abs(z) > 1e-9, z, 1e-9)
+    u_r = uv[..., 0] - cam.bf * inv_z
+    return jnp.concatenate([uv, u_r[..., None]], axis=-1)
+
+
+def distort_normalized(xn: jnp.ndarray, cam: CameraConfig) -> jnp.ndarray:
+    """Apply radial-tangential distortion to normalized coords [..., 2]."""
+    x, y = xn[..., 0], xn[..., 1]
+    r2 = x * x + y * y
+    radial = 1.0 + r2 * (cam.k1 + r2 * (cam.k2 + r2 * cam.k3))
+    xd = x * radial + 2.0 * cam.p1 * x * y + cam.p2 * (r2 + 2.0 * x * x)
+    yd = y * radial + cam.p1 * (r2 + 2.0 * y * y) + 2.0 * cam.p2 * x * y
+    return jnp.stack([xd, yd], axis=-1)
+
+
+def undistort_normalized(
+    xd: jnp.ndarray, cam: CameraConfig, iters: int = 8
+) -> jnp.ndarray:
+    """Invert the distortion model by fixed-point iteration (the same
+    scheme cv::undistortPoints uses)."""
+    x = xd
+    for _ in range(iters):
+        xx, yy = x[..., 0], x[..., 1]
+        r2 = xx * xx + yy * yy
+        radial = 1.0 + r2 * (cam.k1 + r2 * (cam.k2 + r2 * cam.k3))
+        dx = 2.0 * cam.p1 * xx * yy + cam.p2 * (r2 + 2.0 * xx * xx)
+        dy = cam.p1 * (r2 + 2.0 * yy * yy) + 2.0 * cam.p2 * xx * yy
+        x = jnp.stack(
+            [(xd[..., 0] - dx) / radial, (xd[..., 1] - dy) / radial], axis=-1
+        )
+    return x
+
+
+def undistort_pixels(uv: jnp.ndarray, cam: CameraConfig) -> jnp.ndarray:
+    """Distorted pixel coords [..., 2] -> undistorted pixel coords.
+
+    Oracle: Frame::UndistortKeyPoints (src/Frame.cc:471-506). No-op when the
+    camera has no distortion, same as the reference's early-out (:475-480).
+    """
+    if not cam.has_distortion:
+        return uv
+    xn = jnp.stack(
+        [(uv[..., 0] - cam.cx) / cam.fx, (uv[..., 1] - cam.cy) / cam.fy], axis=-1
+    )
+    xu = undistort_normalized(xn, cam)
+    return jnp.stack(
+        [xu[..., 0] * cam.fx + cam.cx, xu[..., 1] * cam.fy + cam.cy], axis=-1
+    )
+
+
+def unproject(uv: jnp.ndarray, depth: jnp.ndarray, cam: CameraConfig) -> jnp.ndarray:
+    """Undistorted pixels + depth -> camera-frame 3D points
+    (oracle: Frame::UnprojectStereo, src/Frame.cc:823-839)."""
+    x = (uv[..., 0] - cam.cx) / cam.fx * depth
+    y = (uv[..., 1] - cam.cy) / cam.fy * depth
+    return jnp.stack([x, y, depth], axis=-1)

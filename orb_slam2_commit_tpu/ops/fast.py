@@ -89,17 +89,23 @@ def fast_score_map(
 
 
 def nms_3x3(score: jnp.ndarray) -> jnp.ndarray:
-    """Keep strict local maxima of a 3x3 neighborhood (ties broken toward the
-    raster-first pixel via an index epsilon, so exactly one survivor per
-    plateau)."""
+    """Keep local maxima of a 3x3 neighborhood; equal-score plateaus are
+    broken exactly toward the raster-first pixel (two reduce_windows: window
+    max of score, then window min of flat index among the max-achieving
+    pixels)."""
     h, w = score.shape
-    # Tiny raster-order tie-break so equal-score neighbors don't both survive.
-    eps = jnp.arange(h * w, dtype=score.dtype).reshape(h, w) * 1e-7
-    s = jnp.where(score > 0, score - eps, 0.0)
-    neighborhood = jax.lax.reduce_window(
-        s, -jnp.inf, jax.lax.max, (3, 3), (1, 1), "SAME"
+    nb_max = jax.lax.reduce_window(
+        score, -jnp.inf, jax.lax.max, (3, 3), (1, 1), "SAME"
     )
-    return jnp.where((s >= neighborhood) & (score > 0), score, 0.0)
+    is_max = (score >= nb_max) & (score > 0)
+    flat_idx = jnp.arange(h * w, dtype=jnp.int32).reshape(h, w)
+    big = jnp.int32(h * w)
+    idx_map = jnp.where(is_max, flat_idx, big)
+    nb_min_idx = jax.lax.reduce_window(
+        idx_map, big, jax.lax.min, (3, 3), (1, 1), "SAME"
+    )
+    keep = is_max & (flat_idx == nb_min_idx)
+    return jnp.where(keep, score, 0.0)
 
 
 def two_threshold_scores(
@@ -175,7 +181,12 @@ def select_keypoints(
     flat_idx = (iy * wp + ix).reshape(-1)
     flat_vals = cell_vals.reshape(-1)
 
-    top_vals, top_pos = jax.lax.top_k(flat_vals, n_keypoints)
+    k = min(n_keypoints, flat_vals.shape[0])
+    top_vals, top_pos = jax.lax.top_k(flat_vals, k)
+    if k < n_keypoints:
+        pad = n_keypoints - k
+        top_vals = jnp.concatenate([top_vals, jnp.zeros(pad, top_vals.dtype)])
+        top_pos = jnp.concatenate([top_pos, jnp.zeros(pad, top_pos.dtype)])
     top_idx = flat_idx[top_pos]
     yx = jnp.stack([top_idx // wp, top_idx % wp], axis=-1).astype(jnp.int32)
     valid = top_vals > 0

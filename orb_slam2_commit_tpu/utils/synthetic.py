@@ -1,0 +1,138 @@
+"""Synthetic scene rendering for tests and benchmarks.
+
+The environment has no TUM/KITTI/EuRoC data (zero egress), so correctness
+is validated on synthetic sequences with exact ground truth: a cloud of 3D
+landmarks, each rendered as a small random-texture patch (distinctive BRIEF
+descriptors, strong FAST corners), splatted with bilinear subpixel accuracy
+into images along a known camera trajectory. This mirrors the reference's
+validation-by-dataset-run strategy (SURVEY.md §4) but with closed-form
+ground truth for ATE checks.
+
+Host-side NumPy; test-only code, not on the TPU hot path.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import List, Tuple
+
+import numpy as np
+
+from orb_slam2_commit_tpu.utils.config import CameraConfig
+
+
+@dataclasses.dataclass
+class Scene:
+    points: np.ndarray       # [P, 3] world coords
+    patches: np.ndarray      # [P, S, S] float32 textures (0..255)
+    patch_half: int
+
+
+def make_scene(
+    rng: np.random.Generator,
+    n_points: int = 500,
+    depth_range: Tuple[float, float] = (4.0, 12.0),
+    spread: float = 6.0,
+    patch_size: int = 9,
+) -> Scene:
+    """Random landmark cloud in front of the origin (+z forward)."""
+    z = rng.uniform(*depth_range, size=n_points)
+    x = rng.uniform(-spread, spread, size=n_points)
+    y = rng.uniform(-spread * 0.75, spread * 0.75, size=n_points)
+    points = np.stack([x, y, z], axis=-1)
+    patches = rng.uniform(0.0, 255.0, size=(n_points, patch_size, patch_size))
+    # Boost contrast so FAST fires reliably.
+    patches = np.where(patches > 127.5, 200.0 + 0.2 * patches, 0.2 * patches)
+    return Scene(points=points.astype(np.float64),
+                 patches=patches.astype(np.float32),
+                 patch_half=patch_size // 2)
+
+
+def render(
+    scene: Scene,
+    R_cw: np.ndarray,
+    t_cw: np.ndarray,
+    cam: CameraConfig,
+    background: float = 96.0,
+) -> np.ndarray:
+    """Render image [H, W] float32 from camera pose (world -> camera)."""
+    h, w = cam.height, cam.width
+    img = np.full((h, w), background, dtype=np.float32)
+    pc = scene.points @ R_cw.T + t_cw
+    z = pc[:, 2]
+    order = np.argsort(-z)  # far first so near landmarks draw on top
+    half = scene.patch_half
+    s = 2 * half + 1
+    for i in order:
+        if z[i] < 0.5:
+            continue
+        u = cam.fx * pc[i, 0] / z[i] + cam.cx
+        v = cam.fy * pc[i, 1] / z[i] + cam.cy
+        if not (half + 2 <= u < w - half - 2 and half + 2 <= v < h - half - 2):
+            continue
+        u0, v0 = int(np.floor(u)), int(np.floor(v))
+        fu, fv = u - u0, v - v0
+        # Bilinear splat of the patch at subpixel offset (fu, fv).
+        p = scene.patches[i]
+        top = v0 - half
+        left = u0 - half
+        block = img[top : top + s + 1, left : left + s + 1]
+        w00 = (1 - fu) * (1 - fv)
+        w10 = fu * (1 - fv)
+        w01 = (1 - fu) * fv
+        w11 = fu * fv
+        acc = np.zeros((s + 1, s + 1), dtype=np.float32)
+        wgt = np.zeros((s + 1, s + 1), dtype=np.float32)
+        acc[:s, :s] += w00 * p
+        wgt[:s, :s] += w00
+        acc[:s, 1:] += w10 * p
+        wgt[:s, 1:] += w10
+        acc[1:, :s] += w01 * p
+        wgt[1:, :s] += w01
+        acc[1:, 1:] += w11 * p
+        wgt[1:, 1:] += w11
+        mask = wgt > 1e-6
+        block[mask] = acc[mask] / np.maximum(wgt[mask], 1e-6)
+    return img
+
+
+def look_ahead_trajectory(
+    n_frames: int,
+    step: float = 0.06,
+    lateral_amp: float = 0.25,
+    yaw_amp: float = 0.02,
+) -> List[Tuple[np.ndarray, np.ndarray]]:
+    """Forward-dominant trajectory with gentle sway; returns camera-from-world
+    (R_cw, t_cw) per frame. Camera starts at origin looking +z."""
+    poses = []
+    for k in range(n_frames):
+        # Camera center in world coords.
+        c = np.array(
+            [
+                lateral_amp * np.sin(2.0 * np.pi * k / max(n_frames - 1, 1)),
+                0.05 * np.sin(4.0 * np.pi * k / max(n_frames - 1, 1)),
+                step * k,
+            ]
+        )
+        yaw = yaw_amp * np.sin(2.0 * np.pi * k / max(n_frames - 1, 1))
+        cy, sy = np.cos(yaw), np.sin(yaw)
+        R_wc = np.array([[cy, 0, sy], [0, 1, 0], [-sy, 0, cy]])
+        R_cw = R_wc.T
+        t_cw = -R_cw @ c
+        poses.append((R_cw, t_cw))
+    return poses
+
+
+def render_sequence(
+    cam: CameraConfig,
+    n_frames: int = 30,
+    n_points: int = 500,
+    seed: int = 0,
+    step: float = 0.06,
+) -> Tuple[np.ndarray, List[Tuple[np.ndarray, np.ndarray]], Scene]:
+    """Images [T, H, W] + ground-truth poses + scene."""
+    rng = np.random.default_rng(seed)
+    scene = make_scene(rng, n_points=n_points)
+    poses = look_ahead_trajectory(n_frames, step=step)
+    images = np.stack([render(scene, R, t, cam) for R, t in poses])
+    return images, poses, scene
