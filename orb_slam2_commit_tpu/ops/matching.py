@@ -1,0 +1,246 @@
+"""Hamming-distance descriptor matching primitives.
+
+TPU-native replacement for the whole of ORBmatcher (reference:
+src/ORBmatcher.cc). Where the reference walks per-feature candidate lists
+with scalar loops, every variant here is one dense masked [M, N] distance
+computation: XOR + popcount on packed uint32 words (VPU), or the MXU
+route (+/-1 float matmul: hamming = (256 - dot)/2) for large problems.
+
+All ORBmatcher variants decompose into:
+    distance matrix  +  candidate mask  +  best/second-best ratio test
+    +  rotation-consistency histogram (30 bins, top-3 kept)
+and are built from the functions in this file. Thresholds TH_HIGH=100,
+TH_LOW=50, HISTO_LENGTH=30 mirror src/ORBmatcher.cc:37-39.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import NamedTuple, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+TH_HIGH = 100
+TH_LOW = 50
+HISTO_LENGTH = 30
+INVALID = jnp.int32(-1)
+BIG_DIST = jnp.int32(1 << 20)
+
+
+def hamming_distance_matrix(desc_a: jnp.ndarray, desc_b: jnp.ndarray) -> jnp.ndarray:
+    """[M, 8] x [N, 8] packed uint32 -> [M, N] int32 Hamming distances.
+
+    Oracle: ORBmatcher::DescriptorDistance (src/ORBmatcher.cc:1844-1860),
+    batched over all pairs.
+    """
+    x = jnp.bitwise_xor(desc_a[:, None, :], desc_b[None, :, :])
+    return jnp.sum(jax.lax.population_count(x), axis=-1).astype(jnp.int32)
+
+
+def hamming_distance_matrix_mxu(
+    bits_a: jnp.ndarray, bits_b: jnp.ndarray
+) -> jnp.ndarray:
+    """MXU route: unpacked +/-1 bfloat16 [M, 256] x [N, 256] -> [M, N] int32.
+
+    hamming = (256 - <a, b>) / 2 for a, b in {-1, +1}^256. Use when M*N is
+    large enough that the systolic array beats the VPU popcount.
+    """
+    dot = jnp.dot(
+        bits_a.astype(jnp.bfloat16),
+        bits_b.astype(jnp.bfloat16).T,
+        preferred_element_type=jnp.float32,
+    )
+    return ((256.0 - dot) * 0.5).astype(jnp.int32)
+
+
+def signed_bits(desc: jnp.ndarray) -> jnp.ndarray:
+    """[N, 8] packed uint32 -> [N, 256] float32 in {-1, +1} for the MXU route."""
+    shifts = jnp.arange(32, dtype=jnp.uint32)
+    bits = (desc[:, :, None] >> shifts[None, None, :]) & jnp.uint32(1)
+    return (bits.reshape(desc.shape[0], 256).astype(jnp.float32) * 2.0) - 1.0
+
+
+class MatchResult(NamedTuple):
+    """idx[M] int32: matched column per row (-1 if none); dist[M] int32."""
+
+    idx: jnp.ndarray
+    dist: jnp.ndarray
+
+    def count(self) -> jnp.ndarray:
+        return jnp.sum(self.idx >= 0)
+
+
+def best_match_with_ratio(
+    dist: jnp.ndarray,
+    mask: jnp.ndarray,
+    max_dist: int,
+    ratio: float = 1.0,
+    ratio_octave: Optional[jnp.ndarray] = None,
+    octave_b: Optional[jnp.ndarray] = None,
+) -> MatchResult:
+    """Row-wise best match under a candidate mask with Lowe-style ratio test.
+
+    dist: [M, N] int32; mask: [M, N] bool (candidate pairs).
+    ratio: best must be < ratio * second_best (1.0 disables the test).
+    If ratio_octave/octave_b given, the ratio test only applies when best and
+    second-best are on the same octave (SearchByProjection's rule,
+    src/ORBmatcher.cc:124-132).
+    """
+    d = jnp.where(mask, dist, BIG_DIST)
+    best_idx = jnp.argmin(d, axis=1).astype(jnp.int32)
+    best = jnp.min(d, axis=1)
+    # Second best: mask out the winner column per row.
+    cols = jnp.arange(d.shape[1], dtype=jnp.int32)[None, :]
+    d2 = jnp.where(cols == best_idx[:, None], BIG_DIST, d)
+    second = jnp.min(d2, axis=1)
+    second_idx = jnp.argmin(d2, axis=1).astype(jnp.int32)
+
+    ok = best <= max_dist
+    if ratio < 1.0:
+        ratio_ok = best.astype(jnp.float32) < ratio * second.astype(jnp.float32)
+        if ratio_octave is not None and octave_b is not None:
+            same_octave = (
+                octave_b[best_idx] == octave_b[second_idx]
+            ) & (second < BIG_DIST)
+            ratio_ok = ratio_ok | ~same_octave
+        ok = ok & ratio_ok
+
+    return MatchResult(
+        idx=jnp.where(ok, best_idx, INVALID),
+        dist=jnp.where(ok, best, BIG_DIST).astype(jnp.int32),
+    )
+
+
+def mutual_consistency(
+    ab: MatchResult, ba: MatchResult
+) -> MatchResult:
+    """Keep a->b matches whose b->a match points back (cross-check).
+
+    The reference applies this in SearchBySim3 (src/ORBmatcher.cc:1440-1459)
+    and implicitly via vnMatches21 in SearchForInitialization (:531-540).
+    """
+    m = ab.idx
+    back = jnp.where(m >= 0, ba.idx[jnp.maximum(m, 0)], INVALID)
+    rows = jnp.arange(m.shape[0], dtype=jnp.int32)
+    ok = (m >= 0) & (back == rows)
+    return MatchResult(
+        idx=jnp.where(ok, m, INVALID),
+        dist=jnp.where(ok, ab.dist, BIG_DIST),
+    )
+
+
+def resolve_duplicate_targets(match: MatchResult, n_targets: int) -> MatchResult:
+    """Ensure each target column is claimed by at most one row (the best one).
+
+    The reference enforces this with rotating bookkeeping in
+    SearchForInitialization (src/ORBmatcher.cc:508-540) and Fuse; here: a
+    scatter-min per column, then rows that lost their claim are invalidated.
+    """
+    safe_idx = jnp.maximum(match.idx, 0)
+    best_per_col = jnp.full((n_targets,), BIG_DIST, dtype=jnp.int32)
+    best_per_col = best_per_col.at[safe_idx].min(
+        jnp.where(match.idx >= 0, match.dist, BIG_DIST)
+    )
+    # Tie-break: the lowest row index among equal-dist claimants wins.
+    rows = jnp.arange(match.idx.shape[0], dtype=jnp.int32)
+    claimant = jnp.full((n_targets,), jnp.int32(1 << 30), dtype=jnp.int32)
+    is_best = (match.idx >= 0) & (match.dist == best_per_col[safe_idx])
+    claimant = claimant.at[safe_idx].min(jnp.where(is_best, rows, 1 << 30))
+    keep = is_best & (claimant[safe_idx] == rows)
+    return MatchResult(
+        idx=jnp.where(keep, match.idx, INVALID),
+        dist=jnp.where(keep, match.dist, BIG_DIST),
+    )
+
+
+def rotation_consistency_filter(
+    match: MatchResult,
+    angle_a: jnp.ndarray,
+    angle_b: jnp.ndarray,
+    histo_length: int = HISTO_LENGTH,
+) -> MatchResult:
+    """Keep only matches whose angle difference falls in the 3 dominant
+    orientation-histogram bins.
+
+    Oracle: the rotHist + ComputeThreeMaxima pattern used by every matcher
+    variant (src/ORBmatcher.cc:1797-1839). Bin width = 2*pi/histo_length; a
+    bin is kept if its count >= 0.1 * max count among the top-3 rule
+    (the reference zeroes bins 2/3 when much smaller than the max:
+    ind2 < 0.1*max1 -> drop, :1830-1837).
+    """
+    valid = match.idx >= 0
+    rot = angle_a - angle_b[jnp.maximum(match.idx, 0)]
+    rot = jnp.mod(rot, 2.0 * jnp.pi)
+    bin_idx = jnp.clip(
+        (rot * (histo_length / (2.0 * jnp.pi))).astype(jnp.int32), 0, histo_length - 1
+    )
+    counts = jnp.zeros((histo_length,), jnp.int32).at[bin_idx].add(
+        valid.astype(jnp.int32)
+    )
+    top3_vals, top3_idx = jax.lax.top_k(counts, 3)
+    # Reference rule: keep bin 1 always; bins 2,3 only if >= 0.1 * bin1.
+    keep_bin = jnp.zeros((histo_length,), dtype=bool)
+    keep_bin = keep_bin.at[top3_idx[0]].set(True)
+    keep_bin = keep_bin.at[top3_idx[1]].set(
+        top3_vals[1].astype(jnp.float32) >= 0.1 * top3_vals[0].astype(jnp.float32)
+    )
+    keep_bin = keep_bin.at[top3_idx[2]].set(
+        top3_vals[2].astype(jnp.float32) >= 0.1 * top3_vals[0].astype(jnp.float32)
+    )
+    ok = valid & keep_bin[bin_idx]
+    return MatchResult(
+        idx=jnp.where(ok, match.idx, INVALID),
+        dist=jnp.where(ok, match.dist, BIG_DIST),
+    )
+
+
+def window_mask(
+    xy_a: jnp.ndarray,
+    xy_b: jnp.ndarray,
+    radius: jnp.ndarray | float,
+) -> jnp.ndarray:
+    """[M, N] mask: b within a square window of half-size radius around a.
+
+    radius may be scalar or per-row [M] (the reference scales the search
+    window by predicted octave, src/ORBmatcher.cc:78-91).
+    """
+    r = jnp.asarray(radius)
+    if r.ndim == 1:
+        r = r[:, None]
+    dx = jnp.abs(xy_a[:, None, 0] - xy_b[None, :, 0])
+    dy = jnp.abs(xy_a[:, None, 1] - xy_b[None, :, 1])
+    return (dx <= r) & (dy <= r)
+
+
+def octave_band_mask(
+    octave_b: jnp.ndarray,
+    lo: jnp.ndarray,
+    hi: jnp.ndarray,
+) -> jnp.ndarray:
+    """[M, N] mask: octave of b within [lo_m, hi_m] per row."""
+    return (octave_b[None, :] >= lo[:, None]) & (octave_b[None, :] <= hi[:, None])
+
+
+def epipolar_mask(
+    xy_a: jnp.ndarray,
+    xy_b: jnp.ndarray,
+    F12: jnp.ndarray,
+    sigma2_b: jnp.ndarray,
+) -> jnp.ndarray:
+    """[M, N] mask: b within the chi2(1)=3.84 band of a's epipolar line.
+
+    Oracle: CheckDistEpipolarLine (src/ORBmatcher.cc:153-173): squared
+    point-line distance < 3.84 * sigma2 of b's octave.
+    """
+    ones_a = jnp.ones_like(xy_a[:, :1])
+    pa = jnp.concatenate([xy_a, ones_a], axis=-1)  # [M, 3]
+    lines = pa @ F12.T  # [M, 3] line coefficients (a, b, c) in image b
+    num = (
+        lines[:, None, 0] * xy_b[None, :, 0]
+        + lines[:, None, 1] * xy_b[None, :, 1]
+        + lines[:, None, 2]
+    )
+    den = lines[:, 0] ** 2 + lines[:, 1] ** 2
+    dsqr = (num * num) / jnp.maximum(den[:, None], 1e-12)
+    return dsqr < 3.84 * sigma2_b[None, :]
