@@ -1,0 +1,282 @@
+"""Bundle adjustment with Schur-complement marginalization of points.
+
+TPU-native replacement for g2o's BlockSolver + LM stack as used by
+Optimizer::LocalBundleAdjustment / BundleAdjustment (reference:
+src/Optimizer.cc:530-885, :41-284; Thirdparty/g2o/g2o/core/block_solver.h).
+
+The reference builds a pointer hypergraph and marginalizes 3x3 point blocks
+with sparse Schur. Here the whole problem is dense fixed-shape arrays:
+
+  Hcc [K, 6, 6]   camera diagonal blocks   (segment-sum over observations)
+  Hpp [P, 3, 3]   point diagonal blocks    (segment-sum)
+  Hcp [K, Pc, 6, 3] camera-point blocks, built in point-chunks Pc
+  S = Hcc - sum_p Hcp Hpp^-1 Hpc           (chunked einsum -> dense [6K, 6K])
+  S dc = -(g_c - Hcp Hpp^-1 g_p)           (Cholesky solve)
+  dp = -Hpp^-1 (g_p + Hpc dc)              (back-substitution)
+
+All matmul-shaped work lands on the MXU; scatter-adds are XLA segment sums.
+Levenberg-Marquardt accept/reject runs inside one jitted fori_loop. Fixed
+poses (gauge anchors / second-ring keyframes, src/Optimizer.cc:87,:618-631)
+simply get zeroed Jacobians.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import NamedTuple, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from orb_slam2_commit_tpu.ops import lie
+from orb_slam2_commit_tpu.optim import residuals as res
+from orb_slam2_commit_tpu.optim.residuals import BAObservations, CHI2_MONO, CHI2_STEREO
+
+
+class BAProblem(NamedTuple):
+    """Fixed-shape BA problem. K poses, P points, O observations."""
+
+    R: jnp.ndarray          # [K, 3, 3] Tcw rotations
+    t: jnp.ndarray          # [K, 3]
+    fixed: jnp.ndarray      # [K] bool — poses held constant
+    points: jnp.ndarray     # [P, 3]
+    point_valid: jnp.ndarray  # [P] bool
+    obs: BAObservations
+
+
+class BAResult(NamedTuple):
+    R: jnp.ndarray
+    t: jnp.ndarray
+    points: jnp.ndarray
+    chi2: jnp.ndarray       # [O] final per-observation chi2
+    inlier: jnp.ndarray     # [O] chi2 <= threshold & positive depth
+    cost: jnp.ndarray
+
+
+def _evaluate(problem: BAProblem, cam_params, use_robust, active):
+    fx, fy, cx, cy, bf = cam_params
+    obs = problem.obs
+    Ro = problem.R[obs.cam_idx]
+    to = problem.t[obs.cam_idx]
+    Xo = problem.points[obs.pt_idx]
+    pred, J_pose, J_point, z = res.project_with_jacobians(
+        Ro, to, Xo, fx, fy, cx, cy, bf
+    )
+    masked = obs._replace(valid=active)
+    e, w, chi2 = res.residuals_and_weights(pred, z, masked, use_robust)
+    # Fixed cameras and invalid points contribute no derivative blocks.
+    J_pose = jnp.where(problem.fixed[obs.cam_idx, None, None], 0.0, J_pose)
+    J_point = jnp.where(
+        problem.point_valid[obs.pt_idx, None, None], J_point, 0.0
+    )
+    return e, w, chi2, J_pose, J_point, z
+
+
+def _robust_total_cost(chi2, delta2, active, use_robust):
+    sqrt_c = jnp.sqrt(jnp.maximum(chi2, 1e-12))
+    delta = jnp.sqrt(delta2)
+    rho = jnp.where(chi2 <= delta2, chi2, 2.0 * delta * sqrt_c - delta2)
+    rho = jnp.where(jnp.asarray(use_robust), rho, chi2)
+    return jnp.sum(jnp.where(active, rho, 0.0))
+
+
+def _inv3x3(M: jnp.ndarray) -> jnp.ndarray:
+    """Batched closed-form 3x3 inverse (adjugate / det)."""
+    a, b, c = M[..., 0, 0], M[..., 0, 1], M[..., 0, 2]
+    d, e, f = M[..., 1, 0], M[..., 1, 1], M[..., 1, 2]
+    g, h, i = M[..., 2, 0], M[..., 2, 1], M[..., 2, 2]
+    A = e * i - f * h
+    B = c * h - b * i
+    C = b * f - c * e
+    D = f * g - d * i
+    E = a * i - c * g
+    F = c * d - a * f
+    G = d * h - e * g
+    H = b * g - a * h
+    I = a * e - b * d
+    det = a * A + b * D + c * G
+    det = jnp.where(jnp.abs(det) > 1e-12, det, 1e-12)
+    adj = jnp.stack(
+        [
+            jnp.stack([A, B, C], axis=-1),
+            jnp.stack([D, E, F], axis=-1),
+            jnp.stack([G, H, I], axis=-1),
+        ],
+        axis=-2,
+    )
+    return adj / det[..., None, None]
+
+
+def _solve_step(problem: BAProblem, cam_params, use_robust, active, lam,
+                point_chunk: int):
+    """One damped Gauss-Newton step. Returns (delta_c [K,6], delta_p [P,3])."""
+    K = problem.R.shape[0]
+    P = problem.points.shape[0]
+    obs = problem.obs
+    dtype = problem.points.dtype
+
+    e, w, chi2, Jc, Jp, z = _evaluate(problem, cam_params, use_robust, active)
+    Jc_w = Jc * w[..., None]
+    Jp_w = Jp * w[..., None]
+
+    # Diagonal blocks + gradients via segment scatter-add.
+    Hcc = jnp.zeros((K, 6, 6), dtype).at[obs.cam_idx].add(
+        jnp.einsum("ora,orb->oab", Jc_w, Jc)
+    )
+    Hpp = jnp.zeros((P, 3, 3), dtype).at[obs.pt_idx].add(
+        jnp.einsum("ora,orb->oab", Jp_w, Jp)
+    )
+    g_c = jnp.zeros((K, 6), dtype).at[obs.cam_idx].add(
+        jnp.einsum("ora,or->oa", Jc_w, e)
+    )
+    g_p = jnp.zeros((P, 3), dtype).at[obs.pt_idx].add(
+        jnp.einsum("ora,or->oa", Jp_w, e)
+    )
+
+    # LM damping (diagonal scaling) + tiny Tikhonov for rank-safety.
+    eye6 = jnp.eye(6, dtype=dtype)
+    eye3 = jnp.eye(3, dtype=dtype)
+    Hcc_d = Hcc + lam * Hcc * eye6 + 1e-8 * eye6
+    Hpp_d = Hpp + lam * Hpp * eye3 + 1e-8 * eye3
+    # Cameras with no active observations (fixed or unconnected) get an
+    # identity block so the dense solve stays well-conditioned; their
+    # gradient is zero, so their update is exactly zero.
+    cam_unused = jnp.abs(Hcc).sum(axis=(1, 2)) == 0
+    Hcc_d = jnp.where(cam_unused[:, None, None], eye6, Hcc_d)
+    Hpp_inv = _inv3x3(Hpp_d)
+
+    # Per-observation camera-point cross blocks.
+    Hcp_o = jnp.einsum("ora,orb->oab", Jc_w, Jp)  # [O, 6, 3]
+
+    # Chunked Schur reduction over points; S starts as the (damped) camera
+    # block diagonal. Pad the point-side arrays to a whole number of chunks
+    # so dynamic_slice never clamps into a misaligned window.
+    n_chunks = -(-P // point_chunk)
+    pad = n_chunks * point_chunk - P
+    Hpp_inv_p = jnp.pad(Hpp_inv, ((0, pad), (0, 0), (0, 0)))
+    g_p_pad = jnp.pad(g_p, ((0, pad), (0, 0)))
+    ar = jnp.arange(K)
+    S = jnp.zeros((K, 6, K, 6), dtype).at[ar, :, ar, :].set(Hcc_d)
+    b_s = g_c
+
+    def chunk_body(ci, carry):
+        S, b_s = carry
+        lo = ci * point_chunk
+        in_chunk = (obs.pt_idx >= lo) & (obs.pt_idx < lo + point_chunk)
+        local_p = jnp.clip(obs.pt_idx - lo, 0, point_chunk - 1)
+        contrib = jnp.where(in_chunk[:, None, None], Hcp_o, 0.0)
+        W = jnp.zeros((K, point_chunk, 6, 3), dtype).at[
+            obs.cam_idx, local_p
+        ].add(contrib)
+        Hpp_inv_chunk = jax.lax.dynamic_slice(
+            Hpp_inv_p, (lo, 0, 0), (point_chunk, 3, 3)
+        )
+        g_p_chunk = jax.lax.dynamic_slice(g_p_pad, (lo, 0), (point_chunk, 3))
+        Y = jnp.einsum("kpab,pbc->kpac", W, Hpp_inv_chunk)
+        S = S - jnp.einsum("kpac,lpdc->kald", Y, W)
+        b_s = b_s - jnp.einsum("kpac,pc->ka", Y, g_p_chunk)
+        return S, b_s
+
+    S, b_s = jax.lax.fori_loop(0, n_chunks, chunk_body, (S, b_s))
+
+    Smat = S.reshape(K * 6, K * 6)
+    delta_c = -jnp.linalg.solve(Smat, b_s.reshape(K * 6)).reshape(K, 6)
+    delta_c = jnp.where(problem.fixed[:, None], 0.0, delta_c)
+
+    # Back-substitute points: dp = -Hpp^-1 (g_p + Hpc dc).
+    dc_per_obs = delta_c[obs.cam_idx]  # [O, 6]
+    Hpc_dc = jnp.zeros((P, 3), dtype).at[obs.pt_idx].add(
+        jnp.einsum("oab,oa->ob", Hcp_o, dc_per_obs)
+    )
+    delta_p = -jnp.einsum("pab,pb->pa", Hpp_inv, g_p + Hpc_dc)
+    delta_p = jnp.where(problem.point_valid[:, None], delta_p, 0.0)
+    return delta_c, delta_p
+
+
+def _apply_step(problem: BAProblem, delta_c, delta_p) -> BAProblem:
+    dR, dt = lie.se3_exp(delta_c)
+    R_new = dR @ problem.R
+    t_new = jnp.einsum("kij,kj->ki", dR, problem.t) + dt
+    return problem._replace(
+        R=R_new, t=t_new, points=problem.points + delta_p
+    )
+
+
+def bundle_adjust(
+    problem: BAProblem,
+    fx: float,
+    fy: float,
+    cx: float,
+    cy: float,
+    bf: float,
+    n_iters: int = 10,
+    use_robust: bool = True,
+    point_chunk: int = 1024,
+    lam0: float = 1e-4,
+) -> Tuple[BAProblem, BAResult]:
+    """Run n_iters of LM. Returns the updated problem + diagnostics."""
+    cam_params = (fx, fy, cx, cy, bf)
+    obs = problem.obs
+    delta2 = jnp.where(obs.is_stereo, CHI2_STEREO, CHI2_MONO)
+    active = obs.valid
+    point_chunk = min(point_chunk, problem.points.shape[0])
+
+    def cost_of(p: BAProblem):
+        _, _, chi2, _, _, z = _evaluate(p, cam_params, use_robust, active)
+        return _robust_total_cost(chi2, delta2, active & (z > 0), use_robust)
+
+    def body(_, state):
+        p, lam, cost = state
+        delta_c, delta_p = _solve_step(
+            p, cam_params, use_robust, active, lam, point_chunk
+        )
+        p_new = _apply_step(p, delta_c, delta_p)
+        new_cost = cost_of(p_new)
+        accept = new_cost < cost
+        p_out = jax.tree.map(
+            lambda a, b: jnp.where(accept, b, a), p, p_new
+        )
+        lam = jnp.where(accept, lam * 0.5, lam * 4.0)
+        cost = jnp.where(accept, new_cost, cost)
+        return p_out, lam, cost
+
+    lam = jnp.asarray(lam0, problem.points.dtype)
+    cost = cost_of(problem)
+    problem, lam, cost = jax.lax.fori_loop(
+        0, n_iters, body, (problem, lam, cost)
+    )
+
+    _, _, chi2, _, _, z = _evaluate(problem, cam_params, use_robust, active)
+    inlier = active & (chi2 <= delta2) & (z > 0)
+    return problem, BAResult(
+        R=problem.R,
+        t=problem.t,
+        points=problem.points,
+        chi2=chi2,
+        inlier=inlier,
+        cost=cost,
+    )
+
+
+def local_bundle_adjust(
+    problem: BAProblem,
+    fx: float, fy: float, cx: float, cy: float, bf: float,
+    first_iters: int = 5,
+    second_iters: int = 10,
+    point_chunk: int = 1024,
+) -> Tuple[BAProblem, BAResult]:
+    """The reference's two-stage local BA (src/Optimizer.cc:737-782):
+    5 robust iterations, drop chi2 outliers / negative depths, 10 more
+    non-robust iterations. Returns final problem + classification (the host
+    erases observations flagged !inlier, :838-861)."""
+    problem, r1 = bundle_adjust(
+        problem, fx, fy, cx, cy, bf, n_iters=first_iters,
+        use_robust=True, point_chunk=point_chunk,
+    )
+    pruned_obs = problem.obs._replace(valid=r1.inlier)
+    problem = problem._replace(obs=pruned_obs)
+    problem, r2 = bundle_adjust(
+        problem, fx, fy, cx, cy, bf, n_iters=second_iters,
+        use_robust=False, point_chunk=point_chunk,
+    )
+    return problem, r2

@@ -1,0 +1,139 @@
+"""Pose-only bundle adjustment (motion-only BA).
+
+TPU-native replacement for Optimizer::PoseOptimization (reference:
+src/Optimizer.cc:287-528): unary reprojection edges from the current
+frame's matched map points, Huber kernels, 4 rounds x 10 LM iterations
+with chi2 inlier reclassification between rounds (5.991 mono / 7.815
+stereo) and the robust kernel disabled for the final round
+(src/Optimizer.cc:495: it==2 -> setRobustKernel(0)).
+
+Everything is one jitted function: fixed iteration counts, masks instead
+of edge levels, a 6x6 solve per LM step.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import NamedTuple, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from orb_slam2_commit_tpu.ops import lie
+from orb_slam2_commit_tpu.optim import residuals as res
+from orb_slam2_commit_tpu.optim.residuals import BAObservations, CHI2_MONO, CHI2_STEREO
+
+
+class PoseOptResult(NamedTuple):
+    R: jnp.ndarray
+    t: jnp.ndarray
+    inliers: jnp.ndarray   # [N] bool — the final chi2 classification
+    n_inliers: jnp.ndarray
+
+
+def _robust_cost(chi2, delta2, active, use_robust):
+    """Huber-composed total cost used for LM accept/reject."""
+    sqrt_c = jnp.sqrt(jnp.maximum(chi2, 1e-12))
+    delta = jnp.sqrt(delta2)
+    rho = jnp.where(
+        chi2 <= delta2, chi2, 2.0 * delta * sqrt_c - delta2
+    )
+    rho = jnp.where(jnp.asarray(use_robust), rho, chi2)
+    return jnp.sum(jnp.where(active, rho, 0.0))
+
+
+def _eval(R, t, points, obs, cam_params, use_robust, active):
+    fx, fy, cx, cy, bf = cam_params
+    O = points.shape[0]
+    Rb = jnp.broadcast_to(R, (O, 3, 3))
+    tb = jnp.broadcast_to(t, (O, 3))
+    pred, J_pose, _, z = res.project_with_jacobians(
+        Rb, tb, points, fx, fy, cx, cy, bf
+    )
+    masked_obs = obs._replace(valid=active)
+    e, w, chi2 = res.residuals_and_weights(pred, z, masked_obs, use_robust)
+    return e, w, chi2, J_pose, z
+
+
+def _lm_rounds(
+    R0, t0, points, obs, cam_params, active, use_robust, n_iters
+):
+    """n_iters of Levenberg-Marquardt on the 6-dof pose."""
+    delta2 = jnp.where(obs.is_stereo, CHI2_STEREO, CHI2_MONO)
+
+    def cost_of(R, t):
+        _, _, chi2, _, z = _eval(R, t, points, obs, cam_params, use_robust, active)
+        return _robust_cost(chi2, delta2, active & (z > 0), use_robust)
+
+    def body(_, state):
+        R, t, lam, cost = state
+        e, w, chi2, J, z = _eval(R, t, points, obs, cam_params, use_robust, active)
+        # H = sum J^T diag(w) J; b = sum J^T diag(w) e.
+        Jw = J * w[..., None]                       # [O, 3, 6]
+        H = jnp.einsum("ora,orb->ab", Jw, J)
+        b = jnp.einsum("ora,or->a", Jw, e)
+        H_lm = H + lam * jnp.diag(jnp.diag(H)) + 1e-9 * jnp.eye(6, dtype=H.dtype)
+        delta = -jnp.linalg.solve(H_lm, b)
+        dR, dt = lie.se3_exp(delta)
+        R_new = dR @ R
+        t_new = dR @ t + dt
+        new_cost = cost_of(R_new, t_new)
+        accept = new_cost < cost
+        R = jnp.where(accept, R_new, R)
+        t = jnp.where(accept, t_new, t)
+        lam = jnp.where(accept, lam * 0.5, lam * 4.0)
+        cost = jnp.where(accept, new_cost, cost)
+        return R, t, lam, cost
+
+    lam0 = jnp.asarray(1e-3, R0.dtype)
+    cost0 = cost_of(R0, t0)
+    R, t, _, _ = jax.lax.fori_loop(0, n_iters, body, (R0, t0, lam0, cost0))
+    return R, t
+
+
+def pose_optimization(
+    R0: jnp.ndarray,
+    t0: jnp.ndarray,
+    points: jnp.ndarray,
+    obs: BAObservations,
+    fx: float,
+    fy: float,
+    cx: float,
+    cy: float,
+    bf: float,
+    n_rounds: int = 4,
+    iters_per_round: int = 10,
+) -> PoseOptResult:
+    """Optimize Tcw = (R0, t0) against world points [N, 3].
+
+    obs.cam_idx/pt_idx are ignored (unary edges, one camera); obs.valid is
+    the match mask. Mirrors the round structure of src/Optimizer.cc:477-508:
+    each round refits on the current inlier set, then reclassifies all
+    observations (outliers can return, like g2o level-1 edges whose error
+    is recomputed, :489-494).
+    """
+    cam_params = (fx, fy, cx, cy, bf)
+    delta2 = jnp.where(obs.is_stereo, CHI2_STEREO, CHI2_MONO)
+
+    R, t = R0, t0
+    inliers = obs.valid
+    for rnd in range(n_rounds):
+        use_robust = rnd < n_rounds - 1
+        R, t = _lm_rounds(
+            R, t, points, obs, cam_params, inliers, use_robust, iters_per_round
+        )
+        _, _, chi2, _, z = _eval(
+            R, t, points, obs, cam_params, use_robust, obs.valid
+        )
+        inliers = obs.valid & (chi2 <= delta2) & (z > 0)
+
+    return PoseOptResult(R=R, t=t, inliers=inliers, n_inliers=jnp.sum(inliers))
+
+
+@functools.partial(jax.jit, static_argnums=(4, 5, 6, 7, 8, 9, 10))
+def pose_optimization_jit(
+    R0, t0, points, obs, fx, fy, cx, cy, bf, n_rounds=4, iters_per_round=10
+):
+    return pose_optimization(
+        R0, t0, points, obs, fx, fy, cx, cy, bf, n_rounds, iters_per_round
+    )
