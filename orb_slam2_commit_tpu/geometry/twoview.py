@@ -493,3 +493,9 @@ def initialize_two_view(
     pts = jnp.where(use_h, pts_h, pts_f)
     good = jnp.where(use_h, good_h, good_f)
     return TwoViewResult(ok, use_h, R, t, pts, good)
+
+
+initialize_two_view_jit = jax.jit(
+    initialize_two_view,
+    static_argnames=("sigma", "min_parallax", "min_triangulated"),
+)

@@ -76,14 +76,13 @@ def best_match_with_ratio(
     mask: jnp.ndarray,
     max_dist: int,
     ratio: float = 1.0,
-    ratio_octave: Optional[jnp.ndarray] = None,
     octave_b: Optional[jnp.ndarray] = None,
 ) -> MatchResult:
     """Row-wise best match under a candidate mask with Lowe-style ratio test.
 
     dist: [M, N] int32; mask: [M, N] bool (candidate pairs).
     ratio: best must be < ratio * second_best (1.0 disables the test).
-    If ratio_octave/octave_b given, the ratio test only applies when best and
+    If octave_b is given, the ratio test only applies when best and
     second-best are on the same octave (SearchByProjection's rule,
     src/ORBmatcher.cc:124-132).
     """
@@ -99,7 +98,7 @@ def best_match_with_ratio(
     ok = best <= max_dist
     if ratio < 1.0:
         ratio_ok = best.astype(jnp.float32) < ratio * second.astype(jnp.float32)
-        if ratio_octave is not None and octave_b is not None:
+        if octave_b is not None:
             same_octave = (
                 octave_b[best_idx] == octave_b[second_idx]
             ) & (second < BIG_DIST)

@@ -258,6 +258,15 @@ def bundle_adjust(
     )
 
 
+bundle_adjust_jit = jax.jit(
+    bundle_adjust,
+    static_argnames=(
+        "fx", "fy", "cx", "cy", "bf", "n_iters", "use_robust",
+        "point_chunk", "lam0",
+    ),
+)
+
+
 def local_bundle_adjust(
     problem: BAProblem,
     fx: float, fy: float, cx: float, cy: float, bf: float,
@@ -269,13 +278,13 @@ def local_bundle_adjust(
     5 robust iterations, drop chi2 outliers / negative depths, 10 more
     non-robust iterations. Returns final problem + classification (the host
     erases observations flagged !inlier, :838-861)."""
-    problem, r1 = bundle_adjust(
+    problem, r1 = bundle_adjust_jit(
         problem, fx, fy, cx, cy, bf, n_iters=first_iters,
         use_robust=True, point_chunk=point_chunk,
     )
     pruned_obs = problem.obs._replace(valid=r1.inlier)
     problem = problem._replace(obs=pruned_obs)
-    problem, r2 = bundle_adjust(
+    problem, r2 = bundle_adjust_jit(
         problem, fx, fy, cx, cy, bf, n_iters=second_iters,
         use_robust=False, point_chunk=point_chunk,
     )

@@ -1,0 +1,397 @@
+"""Local mapping: keyframe insertion processing.
+
+TPU-native replacement for LocalMapping (reference: src/LocalMapping.cc).
+The reference runs this on its own thread with a keyframe queue; here the
+stage is a function the pipeline driver calls per keyframe (synchronously
+or from a host thread — the math is identical):
+
+  process_keyframe:
+    1. recent-map-point culling           (MapPointCulling, :231-279)
+    2. triangulate new points             (CreateNewMapPoints, :281-558)
+    3. fuse duplicates with neighbors     (SearchInNeighbors, :560-664)
+    4. local bundle adjustment            (Optimizer::LocalBundleAdjustment)
+    5. redundant-keyframe culling         (KeyFrameCulling, :784-871)
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Dict, List, Optional
+
+import jax.numpy as jnp
+import numpy as np
+
+from orb_slam2_commit_tpu.geometry import triangulation as tri
+from orb_slam2_commit_tpu.models.map_state import INVALID, MapState
+from orb_slam2_commit_tpu.optim import ba
+from orb_slam2_commit_tpu.slam import matchers
+from orb_slam2_commit_tpu.slam.tracking import build_ba_problem, write_back_ba
+from orb_slam2_commit_tpu.utils.config import SLAMConfig
+
+
+@dataclasses.dataclass
+class RecentPoint:
+    """Culling bookkeeping for newly created points (reference:
+    mlpRecentAddedMapPoints, src/LocalMapping.cc:231-279)."""
+
+    pt_id: int
+    first_kf: int
+
+
+class LocalMapper:
+    def __init__(self, config: SLAMConfig, map_state: MapState):
+        self.config = config
+        self.map = map_state
+        self.recent_points: List[RecentPoint] = []
+        # Abort flag: a pending keyframe interrupts local BA
+        # (reference: mbAbortBA, src/LocalMapping.cc:149-154).
+        self.abort_ba = False
+
+    # ------------------------------------------------------------------
+
+    def process_keyframe(self, kf: int) -> None:
+        self.map.refresh_point_stats()
+        self._cull_recent_points(kf)
+        self._create_new_points(kf)
+        self._fuse_neighbors(kf)
+        self.map.refresh_point_stats()
+        if self.map.n_keyframes() > 2 and not self.abort_ba:
+            self._local_ba(kf)
+        self._cull_keyframes(kf)
+
+    # ------------------------------------------------------------------
+
+    def _cull_recent_points(self, kf: int) -> None:
+        """Oracle: MapPointCulling (src/LocalMapping.cc:231-279): drop
+        points with found/visible < 0.25, or too few observations within
+        2 keyframes of creation; stop tracking after 3 KFs."""
+        th_obs = 2 if self.config.sensor == "monocular" else 3
+        obs_counts = self.map.observation_count()
+        keep: List[RecentPoint] = []
+        drop: List[int] = []
+        for rp in self.recent_points:
+            if not self.map.pt_valid[rp.pt_id]:
+                continue
+            age = kf - rp.first_kf
+            found_ratio = self.map.pt_found[rp.pt_id] / max(
+                self.map.pt_visible[rp.pt_id], 1
+            )
+            if found_ratio < 0.25:
+                drop.append(rp.pt_id)
+            elif age >= 2 and obs_counts[rp.pt_id] <= th_obs:
+                drop.append(rp.pt_id)
+            elif age >= 3:
+                pass  # graduated
+            else:
+                keep.append(rp)
+        self.recent_points = keep
+        if drop:
+            self.map.remove_points(np.asarray(drop))
+
+    # ------------------------------------------------------------------
+
+    def _fundamental_from_poses(self, k1: int, k2: int) -> np.ndarray:
+        """F12 from the two keyframe poses (oracle: ComputeF12,
+        src/LocalMapping.cc:672-699)."""
+        cam = self.config.camera
+        K = np.asarray(cam.k_matrix)
+        R1, t1 = self.map.kf_pose_R[k1], self.map.kf_pose_t[k1]
+        R2, t2 = self.map.kf_pose_R[k2], self.map.kf_pose_t[k2]
+        R12 = R1 @ R2.T
+        t12 = -R12 @ t2 + t1
+        tx = np.array(
+            [[0, -t12[2], t12[1]], [t12[2], 0, -t12[0]], [-t12[1], t12[0], 0]]
+        )
+        Kinv = np.linalg.inv(K)
+        return Kinv.T @ tx @ R12 @ Kinv
+
+    def _create_new_points(self, kf: int) -> None:
+        """Oracle: CreateNewMapPoints (src/LocalMapping.cc:281-558)."""
+        cfg = self.config
+        cam = cfg.camera
+        # 20 neighbors for monocular, 10 otherwise (reference :286-289).
+        n_neigh = 20 if cfg.sensor == "monocular" else 10
+        neighbors = self.map.covisible_keyframes(kf, n_neigh, min_weight=15)
+        if neighbors.size == 0:
+            neighbors = self.map.covisible_keyframes(kf, 3, min_weight=1)
+        K = np.asarray(cam.k_matrix)
+
+        R1, t1 = self.map.kf_pose_R[kf], self.map.kf_pose_t[kf]
+        c1 = -R1.T @ t1
+        free1 = (self.map.kf_point_idx[kf] == INVALID) & self.map.kf_feat_valid[kf]
+        sigma2 = np.asarray(cfg.orb.level_sigma2())
+        scale_factors = np.asarray(cfg.orb.scale_factors())
+        ratio_factor = 1.5 * cfg.orb.scale_factor
+
+        for k2 in neighbors:
+            R2, t2 = self.map.kf_pose_R[k2], self.map.kf_pose_t[k2]
+            c2 = -R2.T @ t2
+            baseline = np.linalg.norm(c2 - c1)
+            if cfg.sensor == "monocular":
+                # Baseline vs median scene depth gate (reference :322-337).
+                pts2 = self.map.kf_point_idx[k2]
+                pts2 = pts2[pts2 >= 0]
+                if pts2.size == 0:
+                    continue
+                depths = (self.map.pt_pos[pts2] @ R2[2]) + t2[2]
+                med_depth = np.median(depths[depths > 0]) if (depths > 0).any() else 0
+                if med_depth <= 0 or baseline / med_depth < 0.01:
+                    continue
+            elif baseline < cam.baseline:
+                continue
+
+            F12 = self._fundamental_from_poses(kf, k2)
+            free2 = (self.map.kf_point_idx[k2] == INVALID) & self.map.kf_feat_valid[k2]
+            # Epipole of camera 1 in image 2 (reference :826-838).
+            c1_in_2 = R2 @ c1 + t2
+            if abs(c1_in_2[2]) > 1e-6:
+                ep = np.array(
+                    [
+                        cam.fx * c1_in_2[0] / c1_in_2[2] + cam.cx,
+                        cam.fy * c1_in_2[1] / c1_in_2[2] + cam.cy,
+                    ]
+                )
+            else:
+                ep = np.array([1e9, 1e9])
+
+            m = matchers.match_for_triangulation(
+                jnp.asarray(self.map.kf_xy[kf]), jnp.asarray(self.map.kf_desc[kf]),
+                jnp.asarray(self.map.kf_angle[kf]), jnp.asarray(free1),
+                jnp.asarray(self.map.kf_xy[k2]), jnp.asarray(self.map.kf_desc[k2]),
+                jnp.asarray(self.map.kf_angle[k2]), jnp.asarray(free2),
+                jnp.asarray(F12), jnp.asarray(self.map.kf_octave[k2]),
+                jnp.asarray(ep), jnp.asarray(100.0),
+            )
+            idx = np.asarray(m.idx)
+            rows = np.where(idx >= 0)[0]
+            if rows.size == 0:
+                continue
+
+            # Triangulate the matched pairs.
+            uv1 = self.map.kf_xy[kf][rows]
+            uv2 = self.map.kf_xy[k2][idx[rows]]
+            P1 = tri.projection_matrix(jnp.asarray(K), jnp.asarray(R1), jnp.asarray(t1))
+            P2 = tri.projection_matrix(jnp.asarray(K), jnp.asarray(R2), jnp.asarray(t2))
+            pts = np.asarray(tri.triangulate_dlt(jnp.asarray(uv1), jnp.asarray(uv2), P1, P2))
+
+            # Gates (reference :388-535): parallax, cheirality, reprojection,
+            # scale consistency.
+            rays1 = pts - c1
+            rays2 = pts - c2
+            d1 = np.linalg.norm(rays1, axis=1)
+            d2 = np.linalg.norm(rays2, axis=1)
+            cos_par = np.sum(rays1 * rays2, axis=1) / np.maximum(d1 * d2, 1e-12)
+            z1 = pts @ R1[2] + t1[2]
+            z2 = pts @ R2[2] + t2[2]
+            e1 = np.asarray(tri.reprojection_error_sq(jnp.asarray(pts), jnp.asarray(uv1), P1))
+            e2 = np.asarray(tri.reprojection_error_sq(jnp.asarray(pts), jnp.asarray(uv2), P2))
+            o1 = self.map.kf_octave[kf][rows]
+            o2 = self.map.kf_octave[k2][idx[rows]]
+            with np.errstate(divide="ignore", invalid="ignore"):
+                ratio_dist = d2 / np.maximum(d1, 1e-12)
+            ratio_octave = scale_factors[np.clip(o1, 0, 7)] / scale_factors[np.clip(o2, 0, 7)]
+            good = (
+                (cos_par > 0)
+                & (cos_par < 0.9998)
+                & (z1 > 0)
+                & (z2 > 0)
+                & (e1 < 5.991 * sigma2[np.clip(o1, 0, 7)])
+                & (e2 < 5.991 * sigma2[np.clip(o2, 0, 7)])
+                & (ratio_dist * ratio_factor >= ratio_octave)
+                & (ratio_dist <= ratio_octave * ratio_factor)
+                & np.isfinite(pts).all(axis=1)
+            )
+            g_rows = rows[good]
+            if g_rows.size == 0:
+                continue
+            capacity = self.map.cfg.max_points - self.map.next_pt
+            if capacity <= 0:
+                break
+            g_rows = g_rows[:capacity]
+            new_ids = self.map.add_points(pts[good][: g_rows.size], first_kf=kf)
+            self.map.kf_point_idx[kf, g_rows] = new_ids
+            self.map.kf_point_idx[k2, idx[g_rows]] = new_ids
+            free1[g_rows] = False
+            for nid in new_ids:
+                self.recent_points.append(RecentPoint(int(nid), kf))
+        # One covisibility refresh for all bindings added above.
+        self.map.update_covisibility(kf)
+        for k2 in neighbors:
+            self.map.update_covisibility(int(k2))
+
+    # ------------------------------------------------------------------
+
+    def _fuse_neighbors(self, kf: int) -> None:
+        """Oracle: SearchInNeighbors (src/LocalMapping.cc:560-664): project
+        this KF's points into first/second-ring neighbors and fuse, then the
+        reverse direction."""
+        cam = self.config.camera
+        n_first = 10 if self.config.sensor == "monocular" else 20
+        first_ring = self.map.covisible_keyframes(kf, n_first, min_weight=15)
+        targets: List[int] = []
+        seen = {int(kf)}
+        for k in first_ring:
+            if int(k) not in seen:
+                targets.append(int(k))
+                seen.add(int(k))
+            for k2 in self.map.covisible_keyframes(int(k), 5, min_weight=15):
+                if int(k2) not in seen:
+                    targets.append(int(k2))
+                    seen.add(int(k2))
+
+        def fuse_into(target_kf: int, pt_ids: np.ndarray) -> None:
+            pt_ids = pt_ids[self.map.pt_valid[pt_ids]]
+            if pt_ids.size == 0:
+                return
+            info = matchers.frustum_check(
+                jnp.asarray(self.map.pt_pos[pt_ids]),
+                jnp.asarray(self.map.pt_normal[pt_ids]),
+                jnp.asarray(self.map.pt_min_dist[pt_ids]),
+                jnp.asarray(self.map.pt_max_dist[pt_ids]),
+                jnp.ones(pt_ids.size, bool),
+                jnp.asarray(self.map.kf_pose_R[target_kf]),
+                jnp.asarray(self.map.kf_pose_t[target_kf]),
+                cam.fx, cam.fy, cam.cx, cam.cy,
+                float(cam.width), float(cam.height),
+            )
+            m = matchers.match_fuse(
+                info, jnp.asarray(self.map.pt_desc[pt_ids]),
+                jnp.asarray(self.map.kf_xy[target_kf]),
+                jnp.asarray(self.map.kf_desc[target_kf]),
+                jnp.asarray(self.map.kf_octave[target_kf]),
+                jnp.asarray(self.map.kf_feat_valid[target_kf]),
+            )
+            idx = np.asarray(m.idx)
+            obs_counts = self.map.observation_count()
+            for r in np.where(idx >= 0)[0]:
+                pid = int(pt_ids[r])
+                feat = int(idx[r])
+                existing = int(self.map.kf_point_idx[target_kf, feat])
+                if existing == pid:
+                    continue
+                if existing >= 0 and self.map.pt_valid[existing]:
+                    # Merge: keep the more-observed point (reference:
+                    # src/ORBmatcher.cc:1061-1075).
+                    if obs_counts[existing] >= obs_counts[pid]:
+                        self.map.replace_point(pid, existing)
+                    else:
+                        self.map.replace_point(existing, pid)
+                else:
+                    self.map.kf_point_idx[target_kf, feat] = pid
+
+        kf_pts = self.map.kf_point_idx[kf]
+        kf_pts = np.unique(kf_pts[kf_pts >= 0])
+        for tk in targets:
+            fuse_into(tk, kf_pts)
+        # Reverse: fuse neighbor points into this KF.
+        if targets:
+            neigh_pts = np.unique(
+                np.concatenate([self.map.kf_point_idx[tk] for tk in targets])
+            )
+            neigh_pts = neigh_pts[neigh_pts >= 0]
+            fuse_into(kf, neigh_pts)
+
+        self.map.update_covisibility(kf)
+        for tk in targets:
+            self.map.update_covisibility(tk)
+
+    # ------------------------------------------------------------------
+
+    def _local_ba(self, kf: int) -> None:
+        """Oracle: Optimizer::LocalBundleAdjustment (src/Optimizer.cc:530-885):
+        free = current KF + covisible; fixed = second ring; points of the
+        free set; two-stage robust/non-robust LM with outlier erasure."""
+        cam = self.config.camera
+        free = [int(kf)] + [int(k) for k in self.map.covisible_keyframes(kf, 31)]
+        free_set = set(free)
+        pts = np.unique(self.map.kf_point_idx[np.asarray(free)])
+        pts = pts[pts >= 0]
+        pts = pts[self.map.pt_valid[pts]][:4096]
+        if pts.size < 10:
+            return
+        # Fixed second ring: KFs observing those points but not free.
+        fixed = []
+        for k in np.where(self.map.kf_valid)[0]:
+            if int(k) in free_set:
+                continue
+            if np.isin(self.map.kf_point_idx[k], pts).any():
+                fixed.append(int(k))
+            if len(fixed) >= 32:
+                break
+        if not fixed:
+            # Gauge: anchor the oldest free keyframe.
+            anchor = min(free)
+            free = [k for k in free if k != anchor]
+            fixed = [anchor]
+            if not free:
+                return
+
+        assembled = build_ba_problem(
+            self.map,
+            free_kfs=np.asarray(free),
+            fixed_kfs=np.asarray(fixed),
+            point_ids=pts,
+            orb_cfg=self.config.orb,
+        )
+        out, result = ba.local_bundle_adjust(
+            assembled.problem, cam.fx, cam.fy, cam.cx, cam.cy, cam.bf,
+            point_chunk=1024,
+        )
+        write_back_ba(self.map, assembled, out, result)
+        self.map.refresh_point_stats()
+
+    # ------------------------------------------------------------------
+
+    def _cull_keyframes(self, kf: int) -> None:
+        """Oracle: KeyFrameCulling (src/LocalMapping.cc:784-871): a covisible
+        KF is redundant if >= 90% of its points are seen by >= 3 other KFs at
+        the same or finer scale. Vectorized with a flat observation table."""
+        valid_kfs = np.where(self.map.kf_valid)[0]
+        if valid_kfs.size < 4:
+            return
+        # Flat observation table: (kf, pid, octave).
+        obs_kf = np.repeat(valid_kfs, self.map.n_feat)
+        obs_pid = self.map.kf_point_idx[valid_kfs].reshape(-1)
+        obs_oct = self.map.kf_octave[valid_kfs].reshape(-1)
+        sel = obs_pid >= 0
+        obs_kf, obs_pid, obs_oct = obs_kf[sel], obs_pid[sel], obs_oct[sel]
+
+        for k in self.map.covisible_keyframes(kf, None, min_weight=1):
+            k = int(k)
+            if k == 0 or k == kf or not self.map.kf_valid[k]:
+                continue
+            row = self.map.kf_point_idx[k]
+            feats = np.where((row >= 0) & self.map.pt_valid[np.maximum(row, 0)])[0]
+            if feats.size == 0:
+                continue
+            pids = row[feats]
+            octs = self.map.kf_octave[k, feats]
+            # For each of this KF's points, count OTHER keyframes observing
+            # it at octave <= o_here + 1.
+            elsewhere = obs_kf != k
+            # Map pid -> column in a compact [n_pts] space.
+            uniq, inv = np.unique(pids, return_inverse=True)
+            pos = np.searchsorted(uniq, obs_pid)
+            pos_c = np.clip(pos, 0, uniq.size - 1)
+            col = np.where(uniq[pos_c] == obs_pid, pos_c, -1)
+            hit = elsewhere & (col >= 0)
+            # octave threshold per target point.
+            th_per_pt = np.full(uniq.size, -1, np.int64)
+            th_per_pt[inv] = octs  # any feature's octave (one per pid here)
+            ok_scale = hit.copy()
+            ok_scale[hit] = obs_oct[hit] <= th_per_pt[col[hit]] + 1
+            # Count distinct KFs per point.
+            pair = col[ok_scale] * (valid_kfs.max() + 1) + obs_kf[ok_scale]
+            uniq_pairs = np.unique(pair)
+            cnt = np.zeros(uniq.size, np.int64)
+            np.add.at(cnt, uniq_pairs // (valid_kfs.max() + 1), 1)
+            n_redundant = (cnt[inv] >= 3).sum()
+            if n_redundant > 0.9 * feats.size:
+                self.map.remove_keyframe(k)
+                # Rebuild the flat table after a removal.
+                valid_kfs = np.where(self.map.kf_valid)[0]
+                obs_kf = np.repeat(valid_kfs, self.map.n_feat)
+                obs_pid = self.map.kf_point_idx[valid_kfs].reshape(-1)
+                obs_oct = self.map.kf_octave[valid_kfs].reshape(-1)
+                sel = obs_pid >= 0
+                obs_kf, obs_pid, obs_oct = obs_kf[sel], obs_pid[sel], obs_oct[sel]

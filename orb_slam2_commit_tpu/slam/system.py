@@ -1,0 +1,189 @@
+"""System facade: the public session API.
+
+TPU-native replacement for System (reference: src/System.cc /
+include/System.h:63-124): constructs the map and pipeline stages, exposes
+per-frame Track* entries, localization-mode switch, reset, shutdown and
+trajectory export. The reference spawns LocalMapping/LoopClosing/Viewer
+threads here (src/System.cc:95-107); this engine runs the mapping stage
+synchronously by default (deterministic, testable) with the same data flow.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import List, Optional, Tuple
+
+import numpy as np
+
+from orb_slam2_commit_tpu.models.map_state import MapState
+from orb_slam2_commit_tpu.slam.frame import Frame, make_frame
+from orb_slam2_commit_tpu.slam.local_mapping import LocalMapper
+from orb_slam2_commit_tpu.slam.tracking import Tracker, TrackingState
+from orb_slam2_commit_tpu.utils import trajectory as traj
+from orb_slam2_commit_tpu.utils.config import SLAMConfig
+
+
+class System:
+    def __init__(self, config: SLAMConfig):
+        self.config = config
+        # Monocular initialization extracts 2x features, like the
+        # reference's dedicated init extractor (src/Tracking.cc:120-126).
+        self.init_config = dataclasses.replace(
+            config,
+            orb=dataclasses.replace(
+                config.orb, n_features=2 * config.orb.n_features
+            ),
+        )
+        n_feat = max(
+            self._n_features(config), self._n_features(self.init_config)
+        )
+        self.map = MapState.create(config.map, n_feat)
+        self.tracker = Tracker(config, self.map)
+        self.mapper = LocalMapper(config, self.map)
+        self.frame_count = 0
+        self._shutdown = False
+
+    @staticmethod
+    def _n_features(config: SLAMConfig) -> int:
+        return sum(config.orb.features_per_level())
+
+    # ------------------------------------------------------------------
+    # Per-frame entries (reference: System::TrackMonocular :225-282,
+    # TrackRGBD :169-223, TrackStereo :121-167)
+    # ------------------------------------------------------------------
+
+    def track_monocular(
+        self, image: np.ndarray, timestamp: float
+    ) -> Optional[Tuple[np.ndarray, np.ndarray]]:
+        assert self.config.sensor == "monocular"
+        return self._track(image, timestamp, depth_image=None)
+
+    def track_rgbd(
+        self, image: np.ndarray, depth: np.ndarray, timestamp: float
+    ) -> Optional[Tuple[np.ndarray, np.ndarray]]:
+        assert self.config.sensor == "rgbd"
+        return self._track(image, timestamp, depth_image=depth)
+
+    def _track(self, image, timestamp, depth_image):
+        use_init = (
+            self.config.sensor == "monocular"
+            and self.tracker.state
+            in (TrackingState.NO_IMAGES_YET, TrackingState.NOT_INITIALIZED)
+        )
+        cfg = self.init_config if use_init else self.config
+        frame = make_frame(
+            image, self.frame_count, timestamp, cfg, depth_image
+        )
+        self.frame_count += 1
+        was_initialized = self.tracker.state in (
+            TrackingState.OK, TrackingState.LOST
+        )
+        pose = self.tracker.track(frame)
+
+        if not was_initialized and self.tracker.state == TrackingState.OK:
+            # Map was just created: nothing more to do this frame.
+            return pose
+
+        if pose is not None and self.tracker.need_new_keyframe(frame):
+            kf = self._insert_keyframe(frame)
+            self.mapper.process_keyframe(kf)
+            self.tracker.ref_kf = kf
+            self.tracker.last_kf_frame_id = frame.frame_id
+        return pose
+
+    def _insert_keyframe(self, frame: Frame) -> int:
+        """Oracle: Tracking::CreateNewKeyFrame (src/Tracking.cc:1311-1401)."""
+        return self.map.add_keyframe(
+            frame.R, frame.t, frame.xy, frame.octave, frame.angle, frame.desc,
+            frame.valid, frame.point_ids, frame.frame_id, frame.timestamp,
+            depth=frame.depth, ur=frame.ur,
+        )
+
+    # ------------------------------------------------------------------
+    # Mode switches (reference: ActivateLocalizationMode,
+    # src/System.cc:284-307; Reset :309-313)
+    # ------------------------------------------------------------------
+
+    def activate_localization_mode(self) -> None:
+        self.tracker.localization_only = True
+
+    def deactivate_localization_mode(self) -> None:
+        self.tracker.localization_only = False
+
+    def reset(self) -> None:
+        """Oracle: Tracking::Reset (src/Tracking.cc:1886-1932)."""
+        self.map = MapState.create(self.config.map, self._n_features(self.config))
+        self.tracker = Tracker(self.config, self.map)
+        self.mapper = LocalMapper(self.config, self.map)
+
+    def shutdown(self) -> None:
+        self._shutdown = True
+
+    def map_changed(self) -> int:
+        return self.map.big_change_idx
+
+    def tracking_state(self) -> TrackingState:
+        return self.tracker.state
+
+    # ------------------------------------------------------------------
+    # Trajectory export (reference: src/System.cc:336-486)
+    # ------------------------------------------------------------------
+
+    def _resolve_trajectory(self) -> List[Tuple[float, np.ndarray, np.ndarray]]:
+        """Frame poses = relative pose composed with the (possibly
+        BA-corrected) reference keyframe pose, walking to the spanning-tree
+        parent when the reference KF was culled (reference:
+        src/System.cc:362-384)."""
+        out = []
+        for e in self.tracker.trajectory:
+            k = e.ref_kf
+            R_rel, t_rel = e.R_rel, e.t_rel
+            hops = 0
+            while k >= 0 and not self.map.kf_valid[k] and hops < 64:
+                # The entry's rel pose was stored against a culled KF whose
+                # pose arrays still hold its last value: chain through it.
+                parent = int(self.map.kf_parent[k])
+                Rk, tk = self.map.kf_pose_R[k], self.map.kf_pose_t[k]
+                if parent < 0:
+                    break
+                Rp, tp = self.map.kf_pose_R[parent], self.map.kf_pose_t[parent]
+                # T_{k<-parent} = Tcw_k * Twc_parent; new rel = rel * that.
+                R_kp = Rk @ Rp.T
+                t_kp = tk - R_kp @ tp
+                t_rel = R_rel @ t_kp + t_rel
+                R_rel = R_rel @ R_kp
+                k = parent
+                hops += 1
+            if k < 0:
+                continue
+            Rk, tk = self.map.kf_pose_R[k], self.map.kf_pose_t[k]
+            R = R_rel @ Rk
+            t = R_rel @ tk + t_rel
+            out.append((e.timestamp, R, t))
+        return out
+
+    def save_trajectory_tum(self, path: str) -> None:
+        traj.write_tum(path, self._resolve_trajectory())
+
+    def save_trajectory_kitti(self, path: str) -> None:
+        traj.write_kitti(path, self._resolve_trajectory())
+
+    def save_keyframe_trajectory_tum(self, path: str) -> None:
+        entries = []
+        for k in range(self.map.next_kf):
+            if self.map.kf_valid[k]:
+                entries.append(
+                    (
+                        float(self.map.kf_timestamp[k]),
+                        self.map.kf_pose_R[k],
+                        self.map.kf_pose_t[k],
+                    )
+                )
+        traj.write_tum(path, entries)
+
+    def trajectory_positions(self) -> np.ndarray:
+        """[T, 3] camera centers for evaluation."""
+        out = []
+        for ts, R, t in self._resolve_trajectory():
+            out.append(-R.T @ t)
+        return np.asarray(out)

@@ -1,0 +1,702 @@
+"""The tracking front end: per-frame pose estimation state machine.
+
+TPU-native replacement for Tracking (reference: src/Tracking.cc). Same
+state machine (NOT_INITIALIZED -> OK <-> LOST, include/Tracking.h:81-87)
+and the same per-frame ladder:
+
+  motion-model tracking -> reference-KF tracking fallback ->
+  (relocalization when LOST) -> local-map tracking -> keyframe decision
+
+but every numeric stage is a jitted fixed-shape kernel: projection matching
+(slam/matchers.py), pose-only BA (optim/pose_opt.py), two-view bootstrap
+(geometry/twoview.py). Host code only orchestrates and does cheap numpy
+bookkeeping — the web of per-object mutexes in the reference disappears
+because the map has a single writer (the pipeline driver).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import enum
+from typing import List, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from orb_slam2_commit_tpu.geometry import twoview
+from orb_slam2_commit_tpu.models.map_state import INVALID, MapState
+from orb_slam2_commit_tpu.optim import ba, pose_opt
+from orb_slam2_commit_tpu.optim.residuals import BAObservations
+from orb_slam2_commit_tpu.slam import matchers
+from orb_slam2_commit_tpu.slam.frame import Frame
+from orb_slam2_commit_tpu.utils.config import SLAMConfig
+
+
+class TrackingState(enum.Enum):
+    NO_IMAGES_YET = 0
+    NOT_INITIALIZED = 1
+    OK = 2
+    LOST = 3
+
+
+@dataclasses.dataclass
+class TrajectoryEntry:
+    """Relative-pose bookkeeping for trajectory export (reference:
+    src/Tracking.cc:563-585 mlRelativeFramePoses)."""
+
+    ref_kf: int
+    R_rel: np.ndarray   # Tcw_frame * Twc_refkf
+    t_rel: np.ndarray
+    timestamp: float
+    lost: bool
+
+
+class Tracker:
+    def __init__(self, config: SLAMConfig, map_state: MapState):
+        self.config = config
+        self.map = map_state
+        self.state = TrackingState.NO_IMAGES_YET
+        self.last_frame: Optional[Frame] = None
+        self.init_ref_frame: Optional[Frame] = None
+        self.velocity: Optional[Tuple[np.ndarray, np.ndarray]] = None
+        self.ref_kf: int = -1
+        self.last_kf_frame_id: int = 0
+        self.last_reloc_frame_id: int = -(10 ** 9)
+        self.trajectory: List[TrajectoryEntry] = []
+        self.n_inliers: int = 0
+        self._rng_key = jax.random.key(0)
+        self.localization_only = False
+
+    # ------------------------------------------------------------------
+    # Pose optimization wrapper
+    # ------------------------------------------------------------------
+
+    def _optimize_pose(self, frame: Frame, R0, t0) -> Tuple[np.ndarray, np.ndarray, np.ndarray, int]:
+        """Pose-only BA over the frame's current point bindings
+        (reference: Optimizer::PoseOptimization call sites
+        src/Tracking.cc:957,1110,1162)."""
+        cam = self.config.camera
+        bound = frame.point_ids >= 0
+        pts = self.map.pt_pos[np.maximum(frame.point_ids, 0)]
+        inv_sigma2 = (1.0 / self.config.orb.level_sigma2()[0]) / np.asarray(
+            self.config.orb.level_sigma2()
+        )[np.clip(frame.octave, 0, self.config.orb.n_levels - 1)]
+        is_stereo = frame.ur >= 0
+        uvr = np.concatenate(
+            [frame.xy, np.where(is_stereo, frame.ur, 0.0)[:, None]], axis=1
+        )
+        obs = BAObservations(
+            cam_idx=jnp.zeros(frame.n, jnp.int32),
+            pt_idx=jnp.arange(frame.n, dtype=jnp.int32),
+            uvr=jnp.asarray(uvr),
+            inv_sigma2=jnp.asarray(inv_sigma2),
+            is_stereo=jnp.asarray(is_stereo & bound),
+            valid=jnp.asarray(bound & frame.valid),
+        )
+        res = pose_opt.pose_optimization_jit(
+            jnp.asarray(R0), jnp.asarray(t0), jnp.asarray(pts), obs,
+            cam.fx, cam.fy, cam.cx, cam.cy, cam.bf,
+        )
+        inliers = np.asarray(res.inliers)
+        # Unbind outlier observations (reference: src/Tracking.cc:1119-1133).
+        frame.point_ids = np.where(bound & ~inliers, INVALID, frame.point_ids)
+        return np.asarray(res.R), np.asarray(res.t), inliers, int(res.n_inliers)
+
+    # ------------------------------------------------------------------
+    # Initialization (monocular)
+    # ------------------------------------------------------------------
+
+    def _try_initialize_mono(self, frame: Frame) -> bool:
+        """Oracle: Tracking::MonocularInitialization (src/Tracking.cc:661-757)
+        + CreateInitialMapMonocular (:759-888)."""
+        cfg = self.config
+        if self.init_ref_frame is None or self.init_ref_frame.valid.sum() < 100:
+            self.init_ref_frame = frame
+            return False
+        if frame.valid.sum() < 100:
+            self.init_ref_frame = None
+            return False
+
+        ref = self.init_ref_frame
+        m = matchers.match_for_initialization(
+            jnp.asarray(ref.xy), jnp.asarray(ref.desc), jnp.asarray(ref.angle),
+            jnp.asarray(ref.octave), jnp.asarray(ref.valid),
+            jnp.asarray(frame.xy), jnp.asarray(frame.desc), jnp.asarray(frame.angle),
+            jnp.asarray(frame.octave), jnp.asarray(frame.valid),
+        )
+        idx = np.asarray(m.idx)
+        n_matches = int((idx >= 0).sum())
+        if n_matches < self.config.tracker.min_matches_init:
+            self.init_ref_frame = frame
+            return False
+
+        # Full-size padded pair arrays (fixed shapes -> one XLA compile for
+        # every init attempt).
+        matched = idx >= 0
+        uv1 = jnp.asarray(ref.xy)
+        uv2 = jnp.asarray(frame.xy[np.maximum(idx, 0)])
+        K = jnp.asarray(np.asarray(cfg.camera.k_matrix))
+        self._rng_key, sub = jax.random.split(self._rng_key)
+        res = twoview.initialize_two_view_jit(
+            sub, uv1, uv2, jnp.asarray(matched), K
+        )
+        if not bool(res.ok):
+            return False
+
+        R21 = np.asarray(res.R21)
+        t21 = np.asarray(res.t21)
+        good = np.asarray(res.good) & matched
+        pts = np.asarray(res.points)[good]
+
+        # Median-depth normalization (reference: src/Tracking.cc:846-869).
+        depths = pts[:, 2]
+        med = np.median(depths)
+        if med <= 0 or good.sum() < self.config.tracker.min_matches_init:
+            return False
+        inv_med = 1.0 / med
+        pts = pts * inv_med
+        t21 = t21 * inv_med
+
+        # Feature indices of the good triangulations.
+        ref_feat = np.where(good)[0]
+        cur_feat = idx[good]
+
+        # Keyframes 0 and 1.
+        ref.set_pose(np.eye(3), np.zeros(3))
+        frame.set_pose(R21, t21)
+        pt_ids = self.map.add_points(pts, first_kf=0)
+        ref_binding = np.full(ref.n, INVALID, np.int32)
+        ref_binding[ref_feat] = pt_ids
+        cur_binding = np.full(frame.n, INVALID, np.int32)
+        cur_binding[cur_feat] = pt_ids
+
+        kf0 = self.map.add_keyframe(
+            ref.R, ref.t, ref.xy, ref.octave, ref.angle, ref.desc,
+            ref.valid, ref_binding, ref.frame_id, ref.timestamp,
+        )
+        kf1 = self.map.add_keyframe(
+            frame.R, frame.t, frame.xy, frame.octave, frame.angle, frame.desc,
+            frame.valid, cur_binding, frame.frame_id, frame.timestamp,
+        )
+        frame.point_ids = cur_binding
+
+        # Initial global BA (reference: GlobalBundleAdjustemnt(20),
+        # src/Tracking.cc:830) with KF0 fixed.
+        self._initial_global_ba(kf0, kf1)
+        self.map.refresh_point_stats()
+
+        self.ref_kf = kf1
+        self.last_kf_frame_id = frame.frame_id
+        self.state = TrackingState.OK
+        return True
+
+    def _initial_global_ba(self, kf0: int, kf1: int, n_iters: int = 20) -> None:
+        cam = self.config.camera
+        problem = build_ba_problem(
+            self.map, free_kfs=np.array([kf1]), fixed_kfs=np.array([kf0]),
+            point_ids=np.where(self.map.pt_valid)[0],
+            orb_cfg=self.config.orb,
+        )
+        out, result = ba.bundle_adjust_jit(
+            problem.problem, cam.fx, cam.fy, cam.cx, cam.cy, cam.bf,
+            n_iters=n_iters, point_chunk=512,
+        )
+        write_back_ba(self.map, problem, out, result)
+
+    # ------------------------------------------------------------------
+    # Stereo / RGB-D initialization
+    # ------------------------------------------------------------------
+
+    def _try_initialize_depth(self, frame: Frame) -> bool:
+        """Oracle: Tracking::StereoInitialization (src/Tracking.cc:590-658):
+        first frame with >= 500 features seeds the map directly from depth."""
+        if frame.valid.sum() < 500:
+            return False
+        frame.set_pose(np.eye(3), np.zeros(3))
+        cam = self.config.camera
+        has_depth = (frame.depth > 0) & frame.valid
+        feat = np.where(has_depth)[0]
+        if feat.size < 100:
+            return False
+        z = frame.depth[feat].astype(np.float64)
+        x = (frame.xy[feat, 0] - cam.cx) / cam.fx * z
+        y = (frame.xy[feat, 1] - cam.cy) / cam.fy * z
+        pts = np.stack([x, y, z], axis=-1)
+        pt_ids = self.map.add_points(pts, first_kf=0)
+        binding = np.full(frame.n, INVALID, np.int32)
+        binding[feat] = pt_ids
+        frame.point_ids = binding
+        self.map.add_keyframe(
+            frame.R, frame.t, frame.xy, frame.octave, frame.angle, frame.desc,
+            frame.valid, binding, frame.frame_id, frame.timestamp,
+            depth=frame.depth, ur=frame.ur,
+        )
+        self.map.refresh_point_stats()
+        self.ref_kf = 0
+        self.last_kf_frame_id = frame.frame_id
+        self.state = TrackingState.OK
+        return True
+
+    # ------------------------------------------------------------------
+    # Frame-to-frame tracking
+    # ------------------------------------------------------------------
+
+    def _track_with_motion_model(self, frame: Frame) -> bool:
+        """Oracle: Tracking::TrackWithMotionModel (src/Tracking.cc:1049-1135)."""
+        if self.velocity is None or self.last_frame is None:
+            return False
+        cam = self.config.camera
+        Rv, tv = self.velocity
+        R_pred = Rv @ self.last_frame.R
+        t_pred = Rv @ self.last_frame.t + tv
+
+        last = self.last_frame
+        bound = last.point_ids >= 0
+        if bound.sum() < 10:
+            return False
+        pt_ids = np.maximum(last.point_ids, 0)
+        pt_pos = self.map.pt_pos[pt_ids]
+        pt_ok = bound & self.map.pt_valid[pt_ids]
+
+        for th in (self.config.tracker.search_radius_motion,
+                   2 * self.config.tracker.search_radius_motion):
+            m = matchers.match_projection_last_frame(
+                jnp.asarray(pt_pos), jnp.asarray(last.desc),
+                jnp.asarray(last.octave), jnp.asarray(last.angle),
+                jnp.asarray(pt_ok),
+                jnp.asarray(R_pred), jnp.asarray(t_pred),
+                jnp.asarray(frame.xy), jnp.asarray(frame.desc),
+                jnp.asarray(frame.angle), jnp.asarray(frame.octave),
+                jnp.asarray(frame.valid),
+                cam.fx, cam.fy, cam.cx, cam.cy,
+                float(cam.width), float(cam.height), th=float(th),
+            )
+            idx = np.asarray(m.idx)
+            n_matches = int((idx >= 0).sum())
+            if n_matches >= 20:
+                break
+        if n_matches < 20:
+            return False
+
+        # Bind matched features to the last frame's points.
+        binding = np.full(frame.n, INVALID, np.int32)
+        rows = np.where(idx >= 0)[0]
+        binding[idx[rows]] = last.point_ids[rows]
+        frame.point_ids = binding
+
+        R, t, inl, n_in = self._optimize_pose(frame, R_pred, t_pred)
+        frame.set_pose(R, t)
+        self.n_inliers = n_in
+        return n_in >= self.config.tracker.min_inliers_track
+
+    def _track_reference_keyframe(self, frame: Frame) -> bool:
+        """Oracle: Tracking::TrackReferenceKeyFrame (src/Tracking.cc:910-969),
+        with brute-force+ratio matching standing in for SearchByBoW."""
+        if self.ref_kf < 0:
+            return False
+        k = self.ref_kf
+        kf_bound = self.map.kf_point_idx[k] >= 0
+        pt_ids = np.maximum(self.map.kf_point_idx[k], 0)
+        kf_ok = kf_bound & self.map.pt_valid[pt_ids]
+        m = matchers.match_brute_force(
+            jnp.asarray(self.map.kf_desc[k]), jnp.asarray(self.map.kf_angle[k]),
+            jnp.asarray(kf_ok),
+            jnp.asarray(frame.desc), jnp.asarray(frame.angle),
+            jnp.asarray(frame.valid),
+        )
+        idx = np.asarray(m.idx)
+        if (idx >= 0).sum() < 15:
+            return False
+        binding = np.full(frame.n, INVALID, np.int32)
+        rows = np.where(idx >= 0)[0]
+        binding[idx[rows]] = self.map.kf_point_idx[k][rows]
+        frame.point_ids = binding
+
+        R0 = self.last_frame.R if self.last_frame.R is not None else self.map.kf_pose_R[k]
+        t0 = self.last_frame.t if self.last_frame.t is not None else self.map.kf_pose_t[k]
+        R, t, inl, n_in = self._optimize_pose(frame, R0, t0)
+        frame.set_pose(R, t)
+        self.n_inliers = n_in
+        return n_in >= self.config.tracker.min_inliers_track
+
+    def _relocalize(self, frame: Frame) -> bool:
+        """Simplified relocalization: brute-force match against recent
+        keyframes, pose optimization seeded at each candidate KF's pose.
+
+        The reference uses KeyFrameDatabase BoW candidates + EPnP RANSAC
+        (src/Tracking.cc:1653-1884); the EPnP solver lands with the
+        place-recognition stack.
+        """
+        cand = [k for k in range(self.map.next_kf) if self.map.kf_valid[k]][-10:]
+        for k in reversed(cand):
+            kf_bound = self.map.kf_point_idx[k] >= 0
+            pt_ids = np.maximum(self.map.kf_point_idx[k], 0)
+            kf_ok = kf_bound & self.map.pt_valid[pt_ids]
+            m = matchers.match_brute_force(
+                jnp.asarray(self.map.kf_desc[k]), jnp.asarray(self.map.kf_angle[k]),
+                jnp.asarray(kf_ok),
+                jnp.asarray(frame.desc), jnp.asarray(frame.angle),
+                jnp.asarray(frame.valid),
+            )
+            idx = np.asarray(m.idx)
+            if (idx >= 0).sum() < 15:
+                continue
+            binding = np.full(frame.n, INVALID, np.int32)
+            rows = np.where(idx >= 0)[0]
+            binding[idx[rows]] = self.map.kf_point_idx[k][rows]
+            frame.point_ids = binding
+            R, t, inl, n_in = self._optimize_pose(
+                frame, self.map.kf_pose_R[k], self.map.kf_pose_t[k]
+            )
+            if n_in >= 20:
+                frame.set_pose(R, t)
+                self.n_inliers = n_in
+                self.ref_kf = k
+                self.last_reloc_frame_id = frame.frame_id
+                return True
+        return False
+
+    # ------------------------------------------------------------------
+    # Local map tracking
+    # ------------------------------------------------------------------
+
+    def _local_keyframes(self, frame: Frame) -> np.ndarray:
+        """K1 = observers of the frame's points, plus top covisible
+        neighbors, capped (oracle: UpdateLocalKeyFrames,
+        src/Tracking.cc:1518-1651)."""
+        bound = frame.point_ids[frame.point_ids >= 0]
+        if bound.size == 0:
+            return np.zeros(0, int)
+        counts = np.zeros(self.map.cfg.max_keyframes, np.int64)
+        valid_kfs = np.where(self.map.kf_valid)[0]
+        for k in valid_kfs:
+            counts[k] = np.isin(self.map.kf_point_idx[k], bound).sum()
+        k1 = np.where(counts > 0)[0]
+        k1 = k1[np.argsort(-counts[k1], kind="stable")]
+        local = list(k1[: self.config.tracker.max_local_keyframes])
+        seen = set(local)
+        for k in list(local)[:10]:
+            for n in self.map.covisible_keyframes(k, 10):
+                if n not in seen:
+                    local.append(int(n))
+                    seen.add(int(n))
+                if len(local) >= self.config.tracker.max_local_keyframes:
+                    break
+            if len(local) >= self.config.tracker.max_local_keyframes:
+                break
+        if k1.size > 0:
+            self.ref_kf = int(k1[0])
+        return np.asarray(local, int)
+
+    def _track_local_map(self, frame: Frame) -> bool:
+        """Oracle: TrackLocalMap + SearchLocalPoints
+        (src/Tracking.cc:1137-1202, :1403-1468)."""
+        cam = self.config.camera
+        cap = self.config.tracker.max_local_points
+        local_kfs = self._local_keyframes(frame)
+        if local_kfs.size == 0:
+            return False
+
+        pts = np.unique(self.map.kf_point_idx[local_kfs])
+        pts = pts[pts >= 0]
+        pts = pts[self.map.pt_valid[pts]]
+        already = set(frame.point_ids[frame.point_ids >= 0].tolist())
+        new_mask = ~np.isin(pts, list(already)) if already else np.ones(pts.size, bool)
+        cand = pts[new_mask][:cap]
+
+        # Pad candidate arrays to the static cap.
+        M = cap
+        pos = np.zeros((M, 3))
+        normal = np.zeros((M, 3))
+        dmin = np.zeros(M)
+        dmax = np.zeros(M)
+        desc = np.zeros((M, 8), np.uint32)
+        pvalid = np.zeros(M, bool)
+        m_c = cand.size
+        pos[:m_c] = self.map.pt_pos[cand]
+        normal[:m_c] = self.map.pt_normal[cand]
+        dmin[:m_c] = self.map.pt_min_dist[cand]
+        dmax[:m_c] = self.map.pt_max_dist[cand]
+        desc[:m_c] = self.map.pt_desc[cand]
+        pvalid[:m_c] = True
+
+        info = matchers.frustum_check(
+            jnp.asarray(pos), jnp.asarray(normal), jnp.asarray(dmin),
+            jnp.asarray(dmax), jnp.asarray(pvalid),
+            jnp.asarray(frame.R), jnp.asarray(frame.t),
+            cam.fx, cam.fy, cam.cx, cam.cy,
+            float(cam.width), float(cam.height),
+        )
+        visible = np.asarray(info.visible)
+        # Visibility counter (reference: IncreaseVisible,
+        # src/Tracking.cc:1420-1437).
+        self.map.pt_visible[cand[visible[:m_c]]] += 1
+
+        # Wider search shortly after relocalization (reference:
+        # src/Tracking.cc:1460-1464).
+        th = self.config.tracker.search_radius_local_map
+        if frame.frame_id < self.last_reloc_frame_id + 2:
+            th = 5.0
+        feat_taken = frame.point_ids >= 0
+        m = matchers.match_local_map(
+            info, jnp.asarray(desc),
+            jnp.asarray(frame.xy), jnp.asarray(frame.desc),
+            jnp.asarray(frame.octave), jnp.asarray(frame.valid),
+            jnp.asarray(feat_taken), th=float(th),
+        )
+        idx = np.asarray(m.idx)
+        rows = np.where(idx >= 0)[0]
+        rows = rows[rows < m_c]
+        frame.point_ids[idx[rows]] = cand[rows]
+
+        R, t, inl, n_in = self._optimize_pose(frame, frame.R, frame.t)
+        frame.set_pose(R, t)
+        self.n_inliers = n_in
+        # Found counter for culling (reference: IncreaseFound,
+        # src/Tracking.cc:1175-1183).
+        found = frame.point_ids[frame.point_ids >= 0]
+        self.map.pt_found[found] += 1
+
+        min_in = self.config.tracker.min_inliers_local_map
+        if frame.frame_id < self.last_reloc_frame_id + cam.fps:
+            min_in = self.config.tracker.min_inliers_local_map_recent
+        return n_in >= min_in
+
+    # ------------------------------------------------------------------
+    # Keyframe decision
+    # ------------------------------------------------------------------
+
+    def need_new_keyframe(self, frame: Frame) -> bool:
+        """Oracle: Tracking::NeedNewKeyFrame (src/Tracking.cc:1205-1309),
+        synchronous-mapper simplification: the mapper is always idle."""
+        if self.localization_only:
+            return False
+        if self.map.n_keyframes() >= self.map.cfg.max_keyframes - 2:
+            return False
+        # Min observations for a "tracked" reference point. The reference
+        # uses 3 once nKFs > 2 (src/Tracking.cc:1231-1234); we hold it at 2
+        # slightly longer — with exactly 3 keyframes an obs>=3 point must be
+        # seen by ALL of them, which deadlocks insertion on slow sequences.
+        n_kfs = self.map.n_keyframes()
+        min_obs = 3 if n_kfs > 3 else 2
+        obs_counts = self.map.observation_count()
+        ref_pts = self.map.kf_point_idx[self.ref_kf]
+        ref_pts = ref_pts[ref_pts >= 0]
+        n_ref_matches = int(
+            (obs_counts[ref_pts] >= min_obs).sum()
+        ) if ref_pts.size else 0
+
+        c1a = frame.frame_id >= self.last_kf_frame_id + self.config.tracker.kf_max_frames
+        c1b = frame.frame_id >= self.last_kf_frame_id + self.config.tracker.kf_min_frames
+        ratio = self.config.tracker.kf_ref_ratio_mono
+        if self.config.sensor != "monocular":
+            ratio = self.config.tracker.kf_ref_ratio_stereo
+        if n_kfs < 3:
+            ratio = 0.4 if self.config.sensor != "monocular" else 0.9
+        c2 = (self.n_inliers < n_ref_matches * ratio) and self.n_inliers > 15
+        return bool((c1a or c1b) and c2)
+
+    # ------------------------------------------------------------------
+    # Main entry
+    # ------------------------------------------------------------------
+
+    def track(self, frame: Frame) -> Optional[Tuple[np.ndarray, np.ndarray]]:
+        """Process one frame; returns (R, t) = Tcw or None while lost.
+        Oracle: Tracking::Track (src/Tracking.cc:275-587)."""
+        if self.state == TrackingState.NO_IMAGES_YET:
+            self.state = TrackingState.NOT_INITIALIZED
+
+        if self.state == TrackingState.NOT_INITIALIZED:
+            if self.config.sensor == "monocular":
+                self._try_initialize_mono(frame)
+            else:
+                self._try_initialize_depth(frame)
+            self.last_frame = frame
+            if self.state == TrackingState.OK:
+                self._record_trajectory(frame, lost=False)
+                return frame.R, frame.t
+            return None
+
+        ok = False
+        if self.state == TrackingState.OK:
+            ok = self._track_with_motion_model(frame)
+            if not ok:
+                ok = self._track_reference_keyframe(frame)
+        else:  # LOST
+            ok = self._relocalize(frame)
+
+        if ok:
+            ok = self._track_local_map(frame)
+
+        if ok:
+            self.state = TrackingState.OK
+            # Motion model update (reference: src/Tracking.cc:477-487).
+            if self.last_frame is not None and self.last_frame.R is not None:
+                R_lv = frame.R @ self.last_frame.R.T
+                t_lv = frame.t - R_lv @ self.last_frame.t
+                self.velocity = (R_lv, t_lv)
+        else:
+            self.state = TrackingState.LOST
+            self.velocity = None
+
+        self._record_trajectory(frame, lost=not ok)
+        self.last_frame = frame
+        return (frame.R, frame.t) if ok else None
+
+    def _record_trajectory(self, frame: Frame, lost: bool) -> None:
+        if lost or frame.R is None or self.ref_kf < 0:
+            # Reference duplicates the last entry when lost
+            # (src/Tracking.cc:575-585).
+            if self.trajectory:
+                e = self.trajectory[-1]
+                self.trajectory.append(
+                    TrajectoryEntry(e.ref_kf, e.R_rel, e.t_rel, frame.timestamp, True)
+                )
+            return
+        Rr = self.map.kf_pose_R[self.ref_kf]
+        tr = self.map.kf_pose_t[self.ref_kf]
+        R_rel = frame.R @ Rr.T
+        t_rel = frame.t - R_rel @ tr
+        self.trajectory.append(
+            TrajectoryEntry(self.ref_kf, R_rel, t_rel, frame.timestamp, False)
+        )
+
+
+# ---------------------------------------------------------------------------
+# BA problem assembly from MapState (shared by tracker init & local mapping)
+# ---------------------------------------------------------------------------
+
+
+@dataclasses.dataclass
+class AssembledBA:
+    problem: ba.BAProblem
+    kf_ids: np.ndarray       # [K] map keyframe id per problem camera
+    point_ids: np.ndarray    # [P] map point id per problem point
+    obs_kf: np.ndarray       # [O] map keyframe id per observation
+    obs_feat: np.ndarray     # [O] feature index per observation
+
+
+def _round_up(n: int, m: int) -> int:
+    return max(((n + m - 1) // m) * m, m)
+
+
+def build_ba_problem(
+    map_state: MapState,
+    free_kfs: np.ndarray,
+    fixed_kfs: np.ndarray,
+    point_ids: np.ndarray,
+    orb_cfg,
+) -> AssembledBA:
+    """Pack a BA problem from map arrays (oracle: the problem construction
+    in Optimizer::LocalBundleAdjustment, src/Optimizer.cc:596-736).
+
+    All shapes are padded to coarse buckets (cameras -> multiple of 8,
+    points -> 512, observations -> 2048) so repeated calls hit the same XLA
+    compilation. Padded cameras are fixed, padded points/observations are
+    masked invalid.
+    """
+    kf_ids = np.concatenate([free_kfs, fixed_kfs]).astype(int)
+    K_real = kf_ids.size
+    P_real = point_ids.size
+    pt_lookup = np.full(map_state.cfg.max_points, -1, np.int64)
+    pt_lookup[point_ids] = np.arange(P_real)
+
+    # Vectorized observation gathering over the keyframe block.
+    rows = map_state.kf_point_idx[kf_ids]                  # [K, N]
+    local_pt = pt_lookup[np.maximum(rows, 0)]
+    sel = (rows >= 0) & (local_pt >= 0)
+    ci_grid = np.broadcast_to(
+        np.arange(K_real)[:, None], rows.shape
+    )
+    feat_grid = np.broadcast_to(
+        np.arange(map_state.n_feat)[None, :], rows.shape
+    )
+    cam_idx = ci_grid[sel]
+    obs_feat = feat_grid[sel]
+    obs_kf = np.broadcast_to(kf_ids[:, None], rows.shape)[sel]
+    pt_idx = local_pt[sel]
+    uv = map_state.kf_xy[obs_kf, obs_feat]
+    ur = map_state.kf_ur[obs_kf, obs_feat]
+    octv = np.clip(map_state.kf_octave[obs_kf, obs_feat], 0, 7)
+    sigma2 = np.asarray(orb_cfg.level_sigma2())
+    is_st = ur >= 0
+    uvr = np.concatenate([uv, np.where(is_st, ur, 0.0)[:, None]], axis=1)
+    inv_s2 = 1.0 / sigma2[octv]
+
+    O_real = cam_idx.size
+    K = _round_up(K_real, 8)
+    P = _round_up(P_real, 512)
+    O = _round_up(O_real, 2048)
+
+    def pad(a, n, fill=0):
+        out = np.full((n,) + a.shape[1:], fill, a.dtype)
+        out[: a.shape[0]] = a
+        return out
+
+    obs = BAObservations(
+        cam_idx=jnp.asarray(pad(cam_idx.astype(np.int32), O)),
+        pt_idx=jnp.asarray(pad(pt_idx.astype(np.int32), O)),
+        uvr=jnp.asarray(pad(uvr.astype(np.float64), O)),
+        inv_sigma2=jnp.asarray(pad(inv_s2, O)),
+        is_stereo=jnp.asarray(pad(is_st, O)),
+        valid=jnp.asarray(pad(np.ones(O_real, bool), O)),
+    )
+    fixed = np.ones(K, bool)
+    fixed[:free_kfs.size] = False
+    fixed[K_real:] = True
+    R_pad = np.tile(np.eye(3), (K, 1, 1))
+    R_pad[:K_real] = map_state.kf_pose_R[kf_ids]
+    t_pad = np.zeros((K, 3))
+    t_pad[:K_real] = map_state.kf_pose_t[kf_ids]
+    pts_pad = np.zeros((P, 3))
+    pts_pad[:P_real] = map_state.pt_pos[point_ids]
+    problem = ba.BAProblem(
+        R=jnp.asarray(R_pad),
+        t=jnp.asarray(t_pad),
+        fixed=jnp.asarray(fixed),
+        points=jnp.asarray(pts_pad),
+        point_valid=jnp.asarray(pad(np.ones(P_real, bool), P)),
+        obs=obs,
+    )
+    return AssembledBA(
+        problem=problem,
+        kf_ids=kf_ids,
+        point_ids=np.asarray(point_ids, int),
+        obs_kf=obs_kf.astype(int),
+        obs_feat=obs_feat.astype(int),
+    )
+
+
+def write_back_ba(
+    map_state: MapState,
+    assembled: AssembledBA,
+    out_problem: ba.BAProblem,
+    result: ba.BAResult,
+    erase_outliers: bool = True,
+) -> None:
+    """Write optimized poses/points back and erase outlier observations
+    (oracle: src/Optimizer.cc:800-883)."""
+    fixed = np.asarray(out_problem.fixed)
+    R = np.asarray(out_problem.R)
+    t = np.asarray(out_problem.t)
+    for ci, k in enumerate(assembled.kf_ids):
+        if not fixed[ci]:
+            map_state.kf_pose_R[k] = R[ci]
+            map_state.kf_pose_t[k] = t[ci]
+    n_pts = assembled.point_ids.size
+    map_state.pt_pos[assembled.point_ids] = np.asarray(out_problem.points)[:n_pts]
+
+    if erase_outliers:
+        n_obs = assembled.obs_kf.size
+        inlier = np.asarray(result.inlier)[:n_obs]
+        bad = np.where(~inlier)[0]
+        touched = set()
+        for o in bad:
+            k = assembled.obs_kf[o]
+            f = assembled.obs_feat[o]
+            if map_state.kf_point_idx[k, f] >= 0:
+                map_state.kf_point_idx[k, f] = INVALID
+                touched.add(int(k))
+        for k in touched:
+            map_state.update_covisibility(k)

@@ -33,19 +33,57 @@ def make_scene(
     n_points: int = 500,
     depth_range: Tuple[float, float] = (4.0, 12.0),
     spread: float = 6.0,
-    patch_size: int = 9,
+    patch_size: int = 15,
 ) -> Scene:
-    """Random landmark cloud in front of the origin (+z forward)."""
+    """Random landmark cloud in front of the origin (+z forward).
+
+    Each landmark's texture = high-contrast random blocks + a strong
+    directional ramp. The ramp dominates the intensity centroid so the ORB
+    orientation is stable across views (small random textures alone have
+    near-symmetric moments and flip orientation, which no real-world corner
+    does)."""
     z = rng.uniform(*depth_range, size=n_points)
     x = rng.uniform(-spread, spread, size=n_points)
     y = rng.uniform(-spread * 0.75, spread * 0.75, size=n_points)
     points = np.stack([x, y, z], axis=-1)
-    patches = rng.uniform(0.0, 255.0, size=(n_points, patch_size, patch_size))
-    # Boost contrast so FAST fires reliably.
-    patches = np.where(patches > 127.5, 200.0 + 0.2 * patches, 0.2 * patches)
+
+    # Patch design for stable SLAM features:
+    # - one dominant bright disc at the center -> a single strong FAST
+    #   corner per landmark, so detection/selection repeats across frames;
+    # - random medium-contrast block texture around it -> distinctive BRIEF;
+    # - a directional ramp -> stable intensity-centroid orientation.
+    s = max(patch_size, 17)
+    half = s // 2
+    tex = rng.uniform(0.0, 255.0, size=(n_points, s, s))
+    tex = np.where(tex > 127.5, 165.0, 55.0)
+    theta = rng.uniform(0, 2 * np.pi, n_points)
+    yy, xx = np.mgrid[0:s, 0:s].astype(np.float64)
+    yc, xc = (yy - half) / half, (xx - half) / half
+    ramp = (
+        np.cos(theta)[:, None, None] * xc[None]
+        + np.sin(theta)[:, None, None] * yc[None]
+    )
+    patches = np.clip(tex + 35.0 * ramp, 0.0, 255.0)
+    r2 = (yy - half) ** 2 + (xx - half) ** 2
+    disc = r2 <= 2.5 ** 2
+    patches[:, disc] = 250.0
     return Scene(points=points.astype(np.float64),
                  patches=patches.astype(np.float32),
-                 patch_half=patch_size // 2)
+                 patch_half=half)
+
+
+def _aa_blur(img: np.ndarray, sigma: float = 0.7) -> np.ndarray:
+    """Separable 5-tap Gaussian anti-aliasing (stabilizes BRIEF bits under
+    subpixel motion, like real camera optics/PSF do)."""
+    x = np.arange(-2, 3, dtype=np.float64)
+    k = np.exp(-(x * x) / (2 * sigma * sigma))
+    k /= k.sum()
+    pad = np.pad(img, ((0, 0), (2, 2)), mode="edge")
+    img = sum(k[i] * pad[:, i : i + img.shape[1]] for i in range(5))
+    pad = np.pad(img, ((2, 2), (0, 0)), mode="edge")
+    return sum(k[i] * pad[i : i + img.shape[0], :] for i in range(5)).astype(
+        np.float32
+    )
 
 
 def render(
@@ -93,7 +131,7 @@ def render(
         wgt[1:, 1:] += w11
         mask = wgt > 1e-6
         block[mask] = acc[mask] / np.maximum(wgt[mask], 1e-6)
-    return img
+    return _aa_blur(img)
 
 
 def look_ahead_trajectory(
