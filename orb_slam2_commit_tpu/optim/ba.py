@@ -108,7 +108,7 @@ def _inv3x3(M: jnp.ndarray) -> jnp.ndarray:
 
 
 def _solve_step(problem: BAProblem, cam_params, use_robust, active, lam,
-                point_chunk: int):
+                point_chunk: int, axis_name=None):
     """One damped Gauss-Newton step. Returns (delta_c [K,6], delta_p [P,3])."""
     K = problem.R.shape[0]
     P = problem.points.shape[0]
@@ -119,7 +119,11 @@ def _solve_step(problem: BAProblem, cam_params, use_robust, active, lam,
     Jc_w = Jc * w[..., None]
     Jp_w = Jp * w[..., None]
 
-    # Diagonal blocks + gradients via segment scatter-add.
+    # Diagonal blocks + gradients via segment scatter-add. When running
+    # sharded (observations split across devices, axis_name set), each
+    # device assembles its shard's partial blocks and the full blocks are
+    # reduced over ICI with psum — the distributed Schur-BA scheme of
+    # SURVEY.md §2.4 P4.
     Hcc = jnp.zeros((K, 6, 6), dtype).at[obs.cam_idx].add(
         jnp.einsum("ora,orb->oab", Jc_w, Jc)
     )
@@ -132,6 +136,11 @@ def _solve_step(problem: BAProblem, cam_params, use_robust, active, lam,
     g_p = jnp.zeros((P, 3), dtype).at[obs.pt_idx].add(
         jnp.einsum("ora,or->oa", Jp_w, e)
     )
+    if axis_name is not None:
+        Hcc = jax.lax.psum(Hcc, axis_name)
+        Hpp = jax.lax.psum(Hpp, axis_name)
+        g_c = jax.lax.psum(g_c, axis_name)
+        g_p = jax.lax.psum(g_p, axis_name)
 
     # LM damping (diagonal scaling) + tiny Tikhonov for rank-safety.
     eye6 = jnp.eye(6, dtype=dtype)
@@ -155,12 +164,12 @@ def _solve_step(problem: BAProblem, cam_params, use_robust, active, lam,
     pad = n_chunks * point_chunk - P
     Hpp_inv_p = jnp.pad(Hpp_inv, ((0, pad), (0, 0), (0, 0)))
     g_p_pad = jnp.pad(g_p, ((0, pad), (0, 0)))
-    ar = jnp.arange(K)
-    S = jnp.zeros((K, 6, K, 6), dtype).at[ar, :, ar, :].set(Hcc_d)
-    b_s = g_c
 
+    # Sharded case: cross-device observation pairs of the same point must
+    # appear in the Schur correction, so the scattered W blocks are psum'd
+    # over the observation axis before the W Hpp^-1 W^T product.
     def chunk_body(ci, carry):
-        S, b_s = carry
+        S_corr, b_corr = carry
         lo = ci * point_chunk
         in_chunk = (obs.pt_idx >= lo) & (obs.pt_idx < lo + point_chunk)
         local_p = jnp.clip(obs.pt_idx - lo, 0, point_chunk - 1)
@@ -168,16 +177,27 @@ def _solve_step(problem: BAProblem, cam_params, use_robust, active, lam,
         W = jnp.zeros((K, point_chunk, 6, 3), dtype).at[
             obs.cam_idx, local_p
         ].add(contrib)
+        if axis_name is not None:
+            W = jax.lax.psum(W, axis_name)
         Hpp_inv_chunk = jax.lax.dynamic_slice(
             Hpp_inv_p, (lo, 0, 0), (point_chunk, 3, 3)
         )
         g_p_chunk = jax.lax.dynamic_slice(g_p_pad, (lo, 0), (point_chunk, 3))
         Y = jnp.einsum("kpab,pbc->kpac", W, Hpp_inv_chunk)
-        S = S - jnp.einsum("kpac,lpdc->kald", Y, W)
-        b_s = b_s - jnp.einsum("kpac,pc->ka", Y, g_p_chunk)
-        return S, b_s
+        S_corr = S_corr + jnp.einsum("kpac,lpdc->kald", Y, W)
+        b_corr = b_corr + jnp.einsum("kpac,pc->ka", Y, g_p_chunk)
+        return S_corr, b_corr
 
-    S, b_s = jax.lax.fori_loop(0, n_chunks, chunk_body, (S, b_s))
+    S_corr, b_corr = jax.lax.fori_loop(
+        0,
+        n_chunks,
+        chunk_body,
+        (jnp.zeros((K, 6, K, 6), dtype), jnp.zeros((K, 6), dtype)),
+    )
+
+    ar = jnp.arange(K)
+    S = (-S_corr).at[ar, :, ar, :].add(Hcc_d)
+    b_s = g_c - b_corr
 
     Smat = S.reshape(K * 6, K * 6)
     delta_c = -jnp.linalg.solve(Smat, b_s.reshape(K * 6)).reshape(K, 6)
@@ -188,6 +208,8 @@ def _solve_step(problem: BAProblem, cam_params, use_robust, active, lam,
     Hpc_dc = jnp.zeros((P, 3), dtype).at[obs.pt_idx].add(
         jnp.einsum("oab,oa->ob", Hcp_o, dc_per_obs)
     )
+    if axis_name is not None:
+        Hpc_dc = jax.lax.psum(Hpc_dc, axis_name)
     delta_p = -jnp.einsum("pab,pb->pa", Hpp_inv, g_p + Hpc_dc)
     delta_p = jnp.where(problem.point_valid[:, None], delta_p, 0.0)
     return delta_c, delta_p
@@ -213,8 +235,14 @@ def bundle_adjust(
     use_robust: bool = True,
     point_chunk: int = 1024,
     lam0: float = 1e-4,
+    axis_name: str | None = None,
 ) -> Tuple[BAProblem, BAResult]:
-    """Run n_iters of LM. Returns the updated problem + diagnostics."""
+    """Run n_iters of LM. Returns the updated problem + diagnostics.
+
+    With axis_name set (inside shard_map over an observation-sharded mesh
+    axis), partial Hessian blocks are psum'd so every device takes the same
+    globally-consistent step — the distributed BA of SURVEY.md §2.4 P4.
+    """
     cam_params = (fx, fy, cx, cy, bf)
     obs = problem.obs
     delta2 = jnp.where(obs.is_stereo, CHI2_STEREO, CHI2_MONO)
@@ -223,12 +251,15 @@ def bundle_adjust(
 
     def cost_of(p: BAProblem):
         _, _, chi2, _, _, z = _evaluate(p, cam_params, use_robust, active)
-        return _robust_total_cost(chi2, delta2, active & (z > 0), use_robust)
+        c = _robust_total_cost(chi2, delta2, active & (z > 0), use_robust)
+        if axis_name is not None:
+            c = jax.lax.psum(c, axis_name)
+        return c
 
     def body(_, state):
         p, lam, cost = state
         delta_c, delta_p = _solve_step(
-            p, cam_params, use_robust, active, lam, point_chunk
+            p, cam_params, use_robust, active, lam, point_chunk, axis_name
         )
         p_new = _apply_step(p, delta_c, delta_p)
         new_cost = cost_of(p_new)
@@ -262,7 +293,7 @@ bundle_adjust_jit = jax.jit(
     bundle_adjust,
     static_argnames=(
         "fx", "fy", "cx", "cy", "bf", "n_iters", "use_robust",
-        "point_chunk", "lam0",
+        "point_chunk", "lam0", "axis_name",
     ),
 )
 

@@ -92,10 +92,14 @@ def render(
     t_cw: np.ndarray,
     cam: CameraConfig,
     background: float = 96.0,
-) -> np.ndarray:
-    """Render image [H, W] float32 from camera pose (world -> camera)."""
+    with_depth: bool = False,
+):
+    """Render image [H, W] float32 from camera pose (world -> camera).
+    With with_depth=True also returns a depth map (0 where no landmark —
+    the invalid-depth convention of TUM RGB-D)."""
     h, w = cam.height, cam.width
     img = np.full((h, w), background, dtype=np.float32)
+    depth = np.zeros((h, w), dtype=np.float32)
     pc = scene.points @ R_cw.T + t_cw
     z = pc[:, 2]
     order = np.argsort(-z)  # far first so near landmarks draw on top
@@ -131,7 +135,11 @@ def render(
         wgt[1:, 1:] += w11
         mask = wgt > 1e-6
         block[mask] = acc[mask] / np.maximum(wgt[mask], 1e-6)
-    return _aa_blur(img)
+        depth[top : top + s + 1, left : left + s + 1][mask] = z[i]
+    img = _aa_blur(img)
+    if with_depth:
+        return img, depth
+    return img
 
 
 def look_ahead_trajectory(
@@ -167,10 +175,17 @@ def render_sequence(
     n_points: int = 500,
     seed: int = 0,
     step: float = 0.06,
-) -> Tuple[np.ndarray, List[Tuple[np.ndarray, np.ndarray]], Scene]:
-    """Images [T, H, W] + ground-truth poses + scene."""
+    with_depth: bool = False,
+):
+    """Images [T, H, W] + ground-truth poses + scene
+    (+ depth maps [T, H, W] when with_depth)."""
     rng = np.random.default_rng(seed)
     scene = make_scene(rng, n_points=n_points)
     poses = look_ahead_trajectory(n_frames, step=step)
+    if with_depth:
+        rendered = [render(scene, R, t, cam, with_depth=True) for R, t in poses]
+        images = np.stack([r[0] for r in rendered])
+        depths = np.stack([r[1] for r in rendered])
+        return images, poses, scene, depths
     images = np.stack([render(scene, R, t, cam) for R, t in poses])
     return images, poses, scene

@@ -1,0 +1,108 @@
+"""End-to-end SLAM pipeline integration tests on synthetic sequences.
+
+The TPU-build analogue of the reference's validation-by-dataset-run
+(SURVEY.md §4): full sequences through the System facade with exact
+ground truth, gated on ATE RMSE.
+"""
+
+import numpy as np
+import pytest
+
+from orb_slam2_commit_tpu.slam.system import System
+from orb_slam2_commit_tpu.slam.tracking import TrackingState
+from orb_slam2_commit_tpu.utils import synthetic
+from orb_slam2_commit_tpu.utils import trajectory as traj
+from orb_slam2_commit_tpu.utils.config import synthetic_config
+
+
+def run_sequence(sys_, images, depths=None, fps=30.0):
+    poses = []
+    for i in range(images.shape[0]):
+        ts = i / fps
+        if depths is None:
+            pose = sys_.track_monocular(images[i], ts)
+        else:
+            pose = sys_.track_rgbd(images[i], depths[i], ts)
+        poses.append(pose)
+    return poses
+
+
+class TestMonocularPipeline:
+    @pytest.fixture(scope="class")
+    def mono_run(self):
+        cfg = synthetic_config(width=400, height=300, n_features=1000)
+        images, poses_gt, scene = synthetic.render_sequence(
+            cfg.camera, n_frames=30, n_points=400, seed=3, step=0.05
+        )
+        sys_ = System(cfg)
+        est_poses = run_sequence(sys_, images)
+        return sys_, est_poses, poses_gt
+
+    def test_initializes_and_tracks(self, mono_run):
+        sys_, est_poses, poses_gt = mono_run
+        assert sys_.tracking_state() == TrackingState.OK
+        tracked = sum(p is not None for p in est_poses)
+        assert tracked >= 12, tracked
+        assert sys_.map.n_keyframes() >= 3
+        assert sys_.map.n_points() >= 150
+
+    def test_ate_within_bound(self, mono_run):
+        sys_, est_poses, poses_gt = mono_run
+        est = sys_.trajectory_positions()
+        lost = np.asarray(
+            [e.lost for e in sys_.tracker.trajectory], dtype=bool
+        )
+        gt = np.asarray([-R.T @ t for R, t in poses_gt])
+        offset = len(poses_gt) - len(est)
+        ok = ~lost
+        rmse = traj.ate_rmse(est[ok], gt[offset:][ok], align_scale=True)
+        span = np.linalg.norm(gt[-1] - gt[0])
+        # Monocular, scale-aligned: <= 8% of trajectory span.
+        assert rmse < 0.08 * span, (rmse, span)
+
+    def test_trajectory_export_formats(self, mono_run, tmp_path):
+        sys_, _, _ = mono_run
+        tum = tmp_path / "traj_tum.txt"
+        kitti = tmp_path / "traj_kitti.txt"
+        kf = tmp_path / "kf_tum.txt"
+        sys_.save_trajectory_tum(str(tum))
+        sys_.save_trajectory_kitti(str(kitti))
+        sys_.save_keyframe_trajectory_tum(str(kf))
+        tum_rows = tum.read_text().strip().split("\n")
+        assert len(tum_rows) > 10
+        assert len(tum_rows[0].split()) == 8  # ts + t(3) + q(4)
+        kitti_rows = kitti.read_text().strip().split("\n")
+        assert len(kitti_rows[0].split()) == 12  # 3x4 matrix
+        assert len(kf.read_text().strip().split("\n")) == sys_.map.n_keyframes()
+
+
+class TestRGBDPipeline:
+    @pytest.fixture(scope="class")
+    def rgbd_run(self):
+        cfg = synthetic_config(width=400, height=300, n_features=1000,
+                               sensor="rgbd")
+        images, poses_gt, scene, depths = synthetic.render_sequence(
+            cfg.camera, n_frames=20, n_points=400, seed=5, step=0.05,
+            with_depth=True,
+        )
+        sys_ = System(cfg)
+        est_poses = run_sequence(sys_, images, depths)
+        return sys_, est_poses, poses_gt
+
+    def test_initializes_first_frame(self, rgbd_run):
+        sys_, est_poses, _ = rgbd_run
+        # Depth sensors initialize on frame 0 (src/Tracking.cc:590-658).
+        assert est_poses[0] is not None
+        assert sys_.tracking_state() == TrackingState.OK
+
+    def test_metric_scale_ate(self, rgbd_run):
+        sys_, est_poses, poses_gt = rgbd_run
+        est = sys_.trajectory_positions()
+        lost = np.asarray([e.lost for e in sys_.tracker.trajectory], bool)
+        gt = np.asarray([-R.T @ t for R, t in poses_gt])
+        offset = len(poses_gt) - len(est)
+        ok = ~lost
+        # No scale alignment: RGB-D is metric.
+        rmse = traj.ate_rmse(est[ok], gt[offset:][ok], align_scale=False)
+        span = np.linalg.norm(gt[-1] - gt[0])
+        assert rmse < 0.06 * span, (rmse, span)
