@@ -110,3 +110,40 @@ def make_frame(
         depth=depth,
         ur=ur,
     )
+
+
+def make_stereo_frame(
+    image_left: np.ndarray,
+    image_right: np.ndarray,
+    frame_id: int,
+    timestamp: float,
+    config: SLAMConfig,
+) -> Frame:
+    """Stereo frame: joint extraction + epipolar matching in one jitted
+    graph (oracle: the stereo Frame ctor, src/Frame.cc:39-124, with
+    ComputeStereoMatches :547-788)."""
+    from orb_slam2_commit_tpu.ops import stereo as stereo_ops
+
+    cam = config.camera
+    feats_l, _, match = stereo_ops.stereo_frontend_jit(
+        jnp.asarray(image_left, jnp.float32),
+        jnp.asarray(image_right, jnp.float32),
+        config.orb, cam.height, cam.width, cam.bf, cam.baseline,
+    )
+    xy_raw = np.asarray(feats_l.xy, np.float64)
+    xy_und = np.asarray(
+        cam_ops.undistort_pixels(jnp.asarray(xy_raw), cam), np.float64
+    )
+    return Frame(
+        frame_id=frame_id,
+        timestamp=timestamp,
+        xy=xy_und,
+        xy_raw=xy_raw,
+        octave=np.asarray(feats_l.octave),
+        angle=np.asarray(feats_l.angle, np.float32),
+        response=np.asarray(feats_l.response, np.float32),
+        desc=np.asarray(feats_l.desc),
+        valid=np.asarray(feats_l.valid),
+        depth=np.asarray(match.depth, np.float32),
+        ur=np.asarray(match.u_right, np.float32),
+    )

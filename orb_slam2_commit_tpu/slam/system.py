@@ -16,7 +16,7 @@ from typing import List, Optional, Tuple
 import numpy as np
 
 from orb_slam2_commit_tpu.models.map_state import MapState
-from orb_slam2_commit_tpu.slam.frame import Frame, make_frame
+from orb_slam2_commit_tpu.slam.frame import Frame, make_frame, make_stereo_frame
 from orb_slam2_commit_tpu.slam.local_mapping import LocalMapper
 from orb_slam2_commit_tpu.slam.tracking import Tracker, TrackingState
 from orb_slam2_commit_tpu.utils import trajectory as traj
@@ -64,6 +64,16 @@ class System:
         assert self.config.sensor == "rgbd"
         return self._track(image, timestamp, depth_image=depth)
 
+    def track_stereo(
+        self, image_left: np.ndarray, image_right: np.ndarray, timestamp: float
+    ) -> Optional[Tuple[np.ndarray, np.ndarray]]:
+        assert self.config.sensor == "stereo"
+        frame = make_stereo_frame(
+            image_left, image_right, self.frame_count, timestamp, self.config
+        )
+        self.frame_count += 1
+        return self._track_frame(frame)
+
     def _track(self, image, timestamp, depth_image):
         use_init = (
             self.config.sensor == "monocular"
@@ -75,6 +85,9 @@ class System:
             image, self.frame_count, timestamp, cfg, depth_image
         )
         self.frame_count += 1
+        return self._track_frame(frame)
+
+    def _track_frame(self, frame: Frame):
         was_initialized = self.tracker.state in (
             TrackingState.OK, TrackingState.LOST
         )

@@ -216,10 +216,12 @@ def synthetic_config(
 ) -> SLAMConfig:
     """Distortion-free pinhole config for synthetic-sequence tests."""
     f = 0.8 * width
+    # Stereo baseline 0.3 m: ~16 px disparity at 6 m depth with f = 0.8*w,
+    # enough for subpixel-accurate metric depth in tests.
     cam = CameraConfig(
         fx=f, fy=f, cx=width / 2.0, cy=height / 2.0,
         width=width, height=height, fps=30.0,
-        bf=0.08 * f if sensor != "monocular" else 0.0,
+        bf=0.3 * f if sensor != "monocular" else 0.0,
         th_depth=40.0,
     )
     return SLAMConfig(camera=cam, orb=ORBConfig(n_features=n_features), sensor=sensor)

@@ -189,3 +189,23 @@ def render_sequence(
         return images, poses, scene, depths
     images = np.stack([render(scene, R, t, cam) for R, t in poses])
     return images, poses, scene
+
+
+def render_stereo_sequence(
+    cam: CameraConfig,
+    n_frames: int = 30,
+    n_points: int = 500,
+    seed: int = 0,
+    step: float = 0.06,
+):
+    """Rectified stereo pairs: right camera displaced by the baseline along
+    the camera x-axis (t_right = t_left - [b, 0, 0] in camera coords)."""
+    rng = np.random.default_rng(seed)
+    scene = make_scene(rng, n_points=n_points)
+    poses = look_ahead_trajectory(n_frames, step=step)
+    b = cam.baseline
+    lefts, rights = [], []
+    for R, t in poses:
+        lefts.append(render(scene, R, t, cam))
+        rights.append(render(scene, R, t - np.array([b, 0.0, 0.0]), cam))
+    return np.stack(lefts), np.stack(rights), poses, scene

@@ -1,0 +1,76 @@
+"""Stereo matching kernel + stereo pipeline tests."""
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from orb_slam2_commit_tpu.ops import stereo as stereo_ops
+from orb_slam2_commit_tpu.slam.frame import make_stereo_frame
+from orb_slam2_commit_tpu.slam.system import System
+from orb_slam2_commit_tpu.slam.tracking import TrackingState
+from orb_slam2_commit_tpu.utils import synthetic
+from orb_slam2_commit_tpu.utils import trajectory as traj
+from orb_slam2_commit_tpu.utils.config import synthetic_config
+
+
+@pytest.fixture(scope="module")
+def stereo_scene():
+    cfg = synthetic_config(width=400, height=300, n_features=1000,
+                           sensor="stereo")
+    lefts, rights, poses, scene = synthetic.render_stereo_sequence(
+        cfg.camera, n_frames=16, n_points=400, seed=4, step=0.05
+    )
+    return cfg, lefts, rights, poses, scene
+
+
+class TestStereoMatch:
+    def test_depth_accuracy(self, stereo_scene):
+        cfg, lefts, rights, poses, scene = stereo_scene
+        cam = cfg.camera
+        frame = make_stereo_frame(lefts[0], rights[0], 0, 0.0, cfg)
+        has = frame.depth > 0
+        assert has.sum() > 150, has.sum()
+        # Compare recovered depth to the true depth of the nearest landmark.
+        R, t = poses[0]
+        pc = scene.points @ R.T + t
+        uv = np.stack(
+            [cam.fx * pc[:, 0] / pc[:, 2] + cam.cx,
+             cam.fy * pc[:, 1] / pc[:, 2] + cam.cy], -1
+        )
+        d = np.linalg.norm(frame.xy[has][:, None] - uv[None], axis=-1)
+        nearest = d.argmin(1)
+        close = d.min(1) < 3.0
+        z_est = frame.depth[has][close]
+        z_true = pc[nearest[close], 2]
+        rel = np.abs(z_est - z_true) / z_true
+        assert np.median(rel) < 0.05, np.median(rel)
+
+    def test_ur_consistency(self, stereo_scene):
+        cfg, lefts, rights, _, _ = stereo_scene
+        cam = cfg.camera
+        frame = make_stereo_frame(lefts[0], rights[0], 0, 0.0, cfg)
+        has = frame.ur >= 0
+        disp = frame.xy[has][:, 0] - frame.ur[has]
+        assert (disp > 0).all()
+        # depth = bf / disparity must hold exactly.
+        np.testing.assert_allclose(
+            frame.depth[has], cam.bf / disp, rtol=1e-5
+        )
+
+
+class TestStereoPipeline:
+    def test_tracks_with_metric_scale(self, stereo_scene):
+        cfg, lefts, rights, poses_gt, _ = stereo_scene
+        sys_ = System(cfg)
+        for i in range(lefts.shape[0]):
+            sys_.track_stereo(lefts[i], rights[i], i / 30.0)
+        assert sys_.tracking_state() == TrackingState.OK
+        assert sys_.map.n_keyframes() >= 1
+        est = sys_.trajectory_positions()
+        lost = np.asarray([e.lost for e in sys_.tracker.trajectory], bool)
+        gt = np.asarray([-R.T @ t for R, t in poses_gt])
+        offset = len(poses_gt) - len(est)
+        ok = ~lost
+        rmse = traj.ate_rmse(est[ok], gt[offset:][ok], align_scale=False)
+        span = np.linalg.norm(gt[-1] - gt[0])
+        assert rmse < 0.06 * span, (rmse, span)
