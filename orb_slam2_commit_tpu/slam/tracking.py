@@ -24,7 +24,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from orb_slam2_commit_tpu.geometry import twoview
+from orb_slam2_commit_tpu.geometry import pnp, twoview
 from orb_slam2_commit_tpu.models.map_state import INVALID, MapState
 from orb_slam2_commit_tpu.optim import ba, pose_opt
 from orb_slam2_commit_tpu.optim.residuals import BAObservations
@@ -67,6 +67,9 @@ class Tracker:
         self.n_inliers: int = 0
         self._rng_key = jax.random.key(0)
         self.localization_only = False
+        # Optional place-recognition database (set by the System when the
+        # vocabulary stack is enabled).
+        self.kf_database = None
 
     # ------------------------------------------------------------------
     # Pose optimization wrapper
@@ -321,15 +324,20 @@ class Tracker:
         return n_in >= self.config.tracker.min_inliers_track
 
     def _relocalize(self, frame: Frame) -> bool:
-        """Simplified relocalization: brute-force match against recent
-        keyframes, pose optimization seeded at each candidate KF's pose.
+        """Relocalization: candidate keyframes -> descriptor matching ->
+        EPnP RANSAC -> pose optimization (oracle: Tracking::Relocalization,
+        src/Tracking.cc:1653-1884).
 
-        The reference uses KeyFrameDatabase BoW candidates + EPnP RANSAC
-        (src/Tracking.cc:1653-1884); the EPnP solver lands with the
-        place-recognition stack.
+        Candidates come from the keyframe database when available (BoW
+        place recognition), else the most recent keyframes.
         """
-        cand = [k for k in range(self.map.next_kf) if self.map.kf_valid[k]][-10:]
-        for k in reversed(cand):
+        cfg = self.config
+        cam = cfg.camera
+        if getattr(self, "kf_database", None) is not None:
+            cand = self.kf_database.detect_relocalization_candidates(frame)
+        else:
+            cand = [k for k in range(self.map.next_kf) if self.map.kf_valid[k]][-10:]
+        for k in reversed(list(cand)):
             kf_bound = self.map.kf_point_idx[k] >= 0
             pt_ids = np.maximum(self.map.kf_point_idx[k], 0)
             kf_ok = kf_bound & self.map.pt_valid[pt_ids]
@@ -346,8 +354,23 @@ class Tracker:
             rows = np.where(idx >= 0)[0]
             binding[idx[rows]] = self.map.kf_point_idx[k][rows]
             frame.point_ids = binding
+
+            # EPnP RANSAC on the 2D-3D matches (src/Tracking.cc:1713-1754).
+            bound = binding >= 0
+            X = self.map.pt_pos[np.maximum(binding, 0)]
+            sigma2 = np.asarray(cfg.orb.level_sigma2())[
+                np.clip(frame.octave, 0, cfg.orb.n_levels - 1)
+            ]
+            self._rng_key, sub = jax.random.split(self._rng_key)
+            res = pnp.epnp_ransac_jit(
+                sub, jnp.asarray(X), jnp.asarray(frame.xy),
+                jnp.asarray(bound & frame.valid), jnp.asarray(sigma2),
+                cam.fx, cam.fy, cam.cx, cam.cy,
+            )
+            if not bool(res.ok):
+                continue
             R, t, inl, n_in = self._optimize_pose(
-                frame, self.map.kf_pose_R[k], self.map.kf_pose_t[k]
+                frame, np.asarray(res.R), np.asarray(res.t)
             )
             if n_in >= 20:
                 frame.set_pose(R, t)
