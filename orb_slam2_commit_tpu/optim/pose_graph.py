@@ -1,0 +1,157 @@
+"""Sim3 pose-graph optimization (the essential graph).
+
+TPU-native replacement for Optimizer::OptimizeEssentialGraph (reference:
+src/Optimizer.cc:888-1218): vertices are per-keyframe Sim3 (world -> kf),
+edges are relative Sim3 measurements from loop closure, the spanning tree,
+strong covisibility (weight >= 100) and past loop edges; 20 LM iterations.
+
+Edge residual (g2o EdgeSim3, types_seven_dof_expmap.h):
+    e = log_sim3( S_meas^-1 * S_i * S_j^-1 )   in R^7
+with left-multiplicative updates S <- exp(delta) * S. Per-edge 7x14
+Jacobians come from vmapped jacfwd; blocks scatter into a dense [7K, 7K]
+system solved on the MXU — the graph is small (K keyframes), density is
+cheaper than sparsity here.
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from orb_slam2_commit_tpu.ops import lie
+
+
+class Sim3Graph(NamedTuple):
+    """K vertices, E edges (padded, masked)."""
+
+    s: jnp.ndarray          # [K]
+    R: jnp.ndarray          # [K, 3, 3]
+    t: jnp.ndarray          # [K, 3]
+    fixed: jnp.ndarray      # [K] bool
+    edge_i: jnp.ndarray     # [E] int32
+    edge_j: jnp.ndarray     # [E] int32
+    meas_s: jnp.ndarray     # [E]
+    meas_R: jnp.ndarray     # [E, 3, 3]
+    meas_t: jnp.ndarray     # [E, 3]
+    edge_valid: jnp.ndarray  # [E] bool
+
+
+def _edge_residual(
+    si, Ri, ti, sj, Rj, tj, sm, Rm, tm, di, dj
+):
+    """Residual of one edge with tangent perturbations di, dj applied."""
+    dsi, dRi, dti = lie.sim3_exp(di)
+    dsj, dRj, dtj = lie.sim3_exp(dj)
+    si_n, Ri_n, ti_n = lie.sim3_compose(dsi, dRi, dti, si, Ri, ti)
+    sj_n, Rj_n, tj_n = lie.sim3_compose(dsj, dRj, dtj, sj, Rj, tj)
+    s_ji_inv, R_ji_inv, t_ji_inv = lie.sim3_inverse(sj_n, Rj_n, tj_n)
+    s_ij, R_ij, t_ij = lie.sim3_compose(
+        si_n, Ri_n, ti_n, s_ji_inv, R_ji_inv, t_ji_inv
+    )
+    sm_i, Rm_i, tm_i = lie.sim3_inverse(sm, Rm, tm)
+    s_e, R_e, t_e = lie.sim3_compose(sm_i, Rm_i, tm_i, s_ij, R_ij, t_ij)
+    return lie.sim3_log(s_e, R_e, t_e)
+
+
+def optimize_sim3_graph(
+    graph: Sim3Graph,
+    n_iters: int = 20,
+    fix_scale: bool = False,
+) -> Sim3Graph:
+    """LM over all vertices. fix_scale freezes every sigma component
+    (stereo/RGB-D essential graph, reference bFixScale :897)."""
+    K = graph.s.shape[0]
+    dtype = graph.t.dtype
+    zero7 = jnp.zeros(7, dtype)
+
+    def edge_terms(g: Sim3Graph):
+        def per_edge(i, j, sm, Rm, tm):
+            def f(di, dj):
+                return _edge_residual(
+                    g.s[i], g.R[i], g.t[i], g.s[j], g.R[j], g.t[j],
+                    sm, Rm, tm, di, dj,
+                )
+
+            r = f(zero7, zero7)
+            Ji = jax.jacfwd(f, argnums=0)(zero7, zero7)
+            Jj = jax.jacfwd(f, argnums=1)(zero7, zero7)
+            return r, Ji, Jj
+
+        return jax.vmap(per_edge)(
+            g.edge_i, g.edge_j, g.meas_s, g.meas_R, g.meas_t
+        )
+
+    def cost_of(g: Sim3Graph):
+        r, _, _ = edge_terms(g)
+        return jnp.sum(
+            jnp.where(g.edge_valid[:, None], r * r, 0.0)
+        )
+
+    def body(_, state):
+        g, lam, cost = state
+        r, Ji, Jj = edge_terms(g)
+        w = g.edge_valid.astype(dtype)
+        Ji = Ji * w[:, None, None]
+        Jj = Jj * w[:, None, None]
+        rw = r * w[:, None]
+        # Zero out fixed vertices' Jacobians.
+        Ji = jnp.where(g.fixed[g.edge_i][:, None, None], 0.0, Ji)
+        Jj = jnp.where(g.fixed[g.edge_j][:, None, None], 0.0, Jj)
+
+        H = jnp.zeros((K, 7, K, 7), dtype)
+        H = H.at[g.edge_i, :, g.edge_i, :].add(
+            jnp.einsum("era,erb->eab", Ji, Ji)
+        )
+        H = H.at[g.edge_j, :, g.edge_j, :].add(
+            jnp.einsum("era,erb->eab", Jj, Jj)
+        )
+        H = H.at[g.edge_i, :, g.edge_j, :].add(
+            jnp.einsum("era,erb->eab", Ji, Jj)
+        )
+        H = H.at[g.edge_j, :, g.edge_i, :].add(
+            jnp.einsum("era,erb->eab", Jj, Ji)
+        )
+        b = jnp.zeros((K, 7), dtype)
+        b = b.at[g.edge_i].add(jnp.einsum("era,er->ea", Ji, rw))
+        b = b.at[g.edge_j].add(jnp.einsum("era,er->ea", Jj, rw))
+
+        # Fixed / unconstrained vertices -> identity rows.
+        diag_sum = jnp.abs(
+            H[jnp.arange(K), :, jnp.arange(K), :]
+        ).sum(axis=(1, 2))
+        unused = (diag_sum == 0) | graph.fixed
+        eye7 = jnp.eye(7, dtype=dtype)
+        H = H.at[jnp.arange(K), :, jnp.arange(K), :].add(
+            jnp.where(unused[:, None, None], eye7, 0.0)
+        )
+        Hm = H.reshape(K * 7, K * 7)
+        Hm = Hm + lam * jnp.diag(jnp.diag(Hm)) + 1e-9 * jnp.eye(
+            K * 7, dtype=dtype
+        )
+        delta = -jnp.linalg.solve(Hm, b.reshape(K * 7)).reshape(K, 7)
+        delta = jnp.where(graph.fixed[:, None], 0.0, delta)
+        if fix_scale:
+            delta = delta.at[:, 6].set(0.0)
+
+        ds, dR, dt = lie.sim3_exp(delta)
+        s_n, R_n, t_n = lie.sim3_compose(ds, dR, dt, g.s, g.R, g.t)
+        g_new = g._replace(s=s_n, R=R_n, t=t_n)
+        new_cost = cost_of(g_new)
+        accept = new_cost < cost
+        g = jax.tree.map(lambda a, bb: jnp.where(accept, bb, a), g, g_new)
+        lam = jnp.where(accept, lam * 0.5, lam * 4.0)
+        cost = jnp.where(accept, new_cost, cost)
+        return g, lam, cost
+
+    lam0 = jnp.asarray(1e-4, dtype)
+    g, _, _ = jax.lax.fori_loop(
+        0, n_iters, body, (graph, lam0, cost_of(graph))
+    )
+    return g
+
+
+optimize_sim3_graph_jit = jax.jit(
+    optimize_sim3_graph, static_argnames=("n_iters", "fix_scale")
+)
