@@ -1,0 +1,296 @@
+"""Binary BoW vocabulary: hierarchical k-means tree over ORB descriptors.
+
+TPU-native replacement for DBoW2's TemplatedVocabulary (reference:
+Thirdparty/DBoW2/DBoW2/TemplatedVocabulary.h): a k-branch, L-level tree of
+binary descriptors with TF-IDF weighting (:942-996) and L1 scoring
+(:1198-1203). The tree is stored as flat arrays (children table + packed
+node descriptors) and transform() descends it for ALL features at once:
+one gather + XOR + popcount + argmin per level (:1218-1259 batched).
+
+Training builds the tree with bitwise-majority k-means (DBoW2's meanValue
++ kmeans++ seeding) on the host — an offline step, like the reference's
+pre-trained ORBvoc.txt.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import functools
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+N_WORDS_DEFAULT_K = 10
+N_WORDS_DEFAULT_L = 6
+
+
+def _popcount_rows(x: np.ndarray) -> np.ndarray:
+    """Popcount over packed uint32 rows [..., 8] -> [...]."""
+    return np.unpackbits(
+        x.view(np.uint8).reshape(x.shape[:-1] + (32,)), axis=-1
+    ).sum(-1)
+
+
+def _majority_descriptor(descs: np.ndarray) -> np.ndarray:
+    """Bitwise-majority mean of packed descriptors (DBoW2 FORB::meanValue)."""
+    bits = np.unpackbits(
+        descs.view(np.uint8).reshape(descs.shape[0], 32), axis=-1
+    )  # [n, 256]
+    maj = (bits.sum(0) * 2 >= descs.shape[0]).astype(np.uint8)
+    return np.packbits(maj).view(np.uint32)
+
+
+def _hamming_to(centroids: np.ndarray, descs: np.ndarray) -> np.ndarray:
+    """[n, c] distances."""
+    x = descs[:, None, :] ^ centroids[None, :, :]
+    return _popcount_rows(x)
+
+
+def _kmeans_binary(descs: np.ndarray, k: int, rng, iters: int = 8):
+    """Binary k-means with majority centroids; returns (centroids, labels)."""
+    n = descs.shape[0]
+    k = min(k, n)
+    # kmeans++ seeding.
+    first = rng.integers(n)
+    centroids = [descs[first]]
+    d2 = _hamming_to(np.asarray(centroids), descs)[:, 0].astype(np.float64)
+    for _ in range(1, k):
+        probs = d2 / max(d2.sum(), 1e-9)
+        nxt = rng.choice(n, p=probs)
+        centroids.append(descs[nxt])
+        d_new = _hamming_to(descs[nxt][None], descs)[:, 0]
+        d2 = np.minimum(d2, d_new)
+    centroids = np.stack(centroids)
+    labels = np.zeros(n, np.int64)
+    for _ in range(iters):
+        d = _hamming_to(centroids, descs)
+        new_labels = d.argmin(1)
+        if (new_labels == labels).all():
+            labels = new_labels
+            break
+        labels = new_labels
+        for c in range(k):
+            sel = labels == c
+            if sel.any():
+                centroids[c] = _majority_descriptor(descs[sel])
+    return centroids, labels
+
+
+@dataclasses.dataclass
+class BinaryVocabulary:
+    k: int
+    levels: int
+    children: np.ndarray     # [n_nodes, k] int32, -1 absent
+    node_desc: np.ndarray    # [n_nodes, 8] uint32
+    node_level: np.ndarray   # [n_nodes] int32 (root = 0)
+    word_id: np.ndarray      # [n_nodes] int32, -1 for internal nodes
+    word_weight: np.ndarray  # [n_words] float32 (idf)
+    n_words: int
+
+    # ------------------------------------------------------------------
+
+    @classmethod
+    def train(
+        cls,
+        descriptors: np.ndarray,
+        k: int = 9,
+        levels: int = 3,
+        seed: int = 0,
+    ) -> "BinaryVocabulary":
+        """Hierarchical k-means over [N, 8] packed descriptors
+        (oracle: TemplatedVocabulary::create, HKmeansStep)."""
+        rng = np.random.default_rng(seed)
+        children_list = [[-1] * k]   # root
+        desc_list = [np.zeros(8, np.uint32)]
+        level_list = [0]
+        word_list = [-1]
+        word_count = 0
+        word_hits: list = []
+
+        def build(node_id: int, descs: np.ndarray, level: int):
+            nonlocal word_count
+            if level == levels or descs.shape[0] <= 1:
+                word_list[node_id] = word_count
+                word_hits.append(descs.shape[0])
+                word_count += 1
+                return
+            cents, labels = _kmeans_binary(descs, k, rng)
+            for c in range(cents.shape[0]):
+                child_id = len(children_list)
+                children_list.append([-1] * k)
+                desc_list.append(cents[c])
+                level_list.append(level + 1)
+                word_list.append(-1)
+                children_list[node_id][c] = child_id
+                build(child_id, descs[labels == c], level + 1)
+
+        build(0, descriptors.astype(np.uint32), 0)
+
+        n_nodes = len(children_list)
+        children = np.asarray(children_list, np.int32)
+        # Fill absent children with self-pointing dummy (argmin never picks
+        # them thanks to +inf distance handling in transform).
+        word_id = np.asarray(word_list, np.int32)
+        # IDF weights from the training corpus occupancy (DBoW2 TF_IDF:
+        # idf = log(N / n_i), :942-996). Every word seen at least once.
+        n_train = max(descriptors.shape[0], 1)
+        hits = np.maximum(np.asarray(word_hits, np.float64), 1.0)
+        weights = np.log(n_train / hits).astype(np.float32)
+        weights = np.maximum(weights, 1e-3)
+        return cls(
+            k=k,
+            levels=levels,
+            children=children,
+            node_desc=np.stack(desc_list).astype(np.uint32),
+            node_level=np.asarray(level_list, np.int32),
+            word_id=word_id,
+            word_weight=weights,
+            n_words=word_count,
+        )
+
+    # ------------------------------------------------------------------
+
+    def device_arrays(self):
+        return (
+            jnp.asarray(self.children),
+            jnp.asarray(self.node_desc),
+            jnp.asarray(self.word_id),
+        )
+
+    def transform(
+        self, desc: np.ndarray, valid: np.ndarray,
+        levels_up: int = 2,
+    ) -> Tuple[np.ndarray, np.ndarray]:
+        """Batched tree descent: [N, 8] descriptors -> (word ids [N],
+        mid-level node ids [N]) with -1 for invalid features.
+
+        Oracle: TemplatedVocabulary::transform(feature, word, node, levelsup)
+        (TemplatedVocabulary.h:1218-1259). The node id at depth
+        levels - levels_up feeds BoW-constrained matching (FeatureVector).
+        """
+        words, nodes = _transform_device(
+            jnp.asarray(desc), *self.device_arrays(),
+            self.levels, levels_up,
+        )
+        words = np.where(valid, np.asarray(words), -1)
+        nodes = np.where(valid, np.asarray(nodes), -1)
+        return words, nodes
+
+    def bow_vector(self, words: np.ndarray) -> np.ndarray:
+        """Dense L1-normalized TF-IDF vector [n_words] from word ids
+        (negatives ignored)."""
+        v = np.zeros(self.n_words, np.float32)
+        w = words[words >= 0]
+        np.add.at(v, w, self.word_weight[w])
+        s = v.sum()
+        return v / s if s > 0 else v
+
+    @staticmethod
+    def score(v1: np.ndarray, v2: np.ndarray) -> float:
+        """DBoW2 L1 score in [0, 1] (ScoringObject.h L1Scoring):
+        s = 1 - 0.5 * |v1 - v2|_1 for L1-normalized vectors."""
+        return float(1.0 - 0.5 * np.abs(v1 - v2).sum())
+
+    # ------------------------------------------------------------------
+    # Text serialization (same row layout as the reference's ORBvoc.txt:
+    # "k L s1 s2" header, then "parent isLeaf 32-bytes weight" rows,
+    # TemplatedVocabulary.h:1338-1417)
+    # ------------------------------------------------------------------
+
+    def save_text(self, path: str) -> None:
+        with open(path, "w") as f:
+            f.write(f"{self.k} {self.levels} 0 0\n")
+            for nid in range(1, self.children.shape[0]):
+                parent = -1
+                for p in range(self.children.shape[0]):
+                    if nid in self.children[p]:
+                        parent = p
+                        break
+                is_leaf = int(self.word_id[nid] >= 0)
+                byts = self.node_desc[nid].view(np.uint8)
+                wt = (
+                    self.word_weight[self.word_id[nid]]
+                    if is_leaf
+                    else 0.0
+                )
+                f.write(
+                    f"{parent} {is_leaf} "
+                    + " ".join(str(int(b)) for b in byts)
+                    + f" {wt}\n"
+                )
+
+    @classmethod
+    def load_text(cls, path: str) -> "BinaryVocabulary":
+        with open(path) as f:
+            header = f.readline().split()
+            k, levels = int(header[0]), int(header[1])
+            rows = [line.split() for line in f if line.strip()]
+        n_nodes = len(rows) + 1
+        children = np.full((n_nodes, k), -1, np.int32)
+        node_desc = np.zeros((n_nodes, 8), np.uint32)
+        node_level = np.zeros(n_nodes, np.int32)
+        word_id = np.full(n_nodes, -1, np.int32)
+        weights = []
+        child_count = np.zeros(n_nodes, np.int32)
+        word_count = 0
+        for nid, row in enumerate(rows, start=1):
+            parent = int(row[0])
+            is_leaf = int(row[1])
+            byts = np.asarray([int(x) for x in row[2:34]], np.uint8)
+            node_desc[nid] = byts.view(np.uint32)
+            children[parent, child_count[parent]] = nid
+            child_count[parent] += 1
+            node_level[nid] = node_level[parent] + 1
+            if is_leaf:
+                word_id[nid] = word_count
+                weights.append(float(row[34]))
+                word_count += 1
+        return cls(
+            k=k, levels=levels, children=children, node_desc=node_desc,
+            node_level=node_level, word_id=word_id,
+            word_weight=np.asarray(weights, np.float32),
+            n_words=word_count,
+        )
+
+
+@functools.partial(jax.jit, static_argnums=(4, 5))
+def _transform_device(
+    desc: jnp.ndarray,
+    children: jnp.ndarray,
+    node_desc: jnp.ndarray,
+    word_id: jnp.ndarray,
+    levels: int,
+    levels_up: int,
+):
+    """Descend the tree for all descriptors at once.
+
+    Per level: gather the k child descriptors of each feature's current
+    node, XOR + popcount against the feature descriptor, argmin. Missing
+    children (-1) get +inf distance. Leaf nodes self-loop (children all
+    -1 -> stay, matching variable-depth trees).
+    """
+    n = desc.shape[0]
+    current = jnp.zeros(n, jnp.int32)
+    mid_level = max(levels - levels_up, 0)
+    mid_nodes = jnp.zeros(n, jnp.int32)
+
+    for level in range(levels):
+        ch = children[current]                        # [n, k]
+        has = ch >= 0
+        ch_safe = jnp.maximum(ch, 0)
+        cd = node_desc[ch_safe]                       # [n, k, 8]
+        x = jnp.bitwise_xor(cd, desc[:, None, :])
+        dist = jnp.sum(jax.lax.population_count(x), axis=-1).astype(jnp.int32)
+        dist = jnp.where(has, dist, jnp.int32(1 << 20))
+        best = jnp.argmin(dist, axis=1).astype(jnp.int32)
+        nxt = jnp.take_along_axis(ch_safe, best[:, None], axis=1)[:, 0]
+        # Stay at a leaf whose children are absent.
+        any_child = jnp.any(has, axis=1)
+        current = jnp.where(any_child, nxt, current)
+        if level + 1 == mid_level or (mid_level == 0 and level == 0):
+            mid_nodes = current
+    if mid_level == 0:
+        mid_nodes = jnp.zeros(n, jnp.int32)
+    return word_id[current], mid_nodes

@@ -1,0 +1,471 @@
+"""Loop closing: detection, Sim3 alignment, map correction, global BA.
+
+TPU-native replacement for LoopClosing (reference: src/LoopClosing.cc).
+The reference runs this on its own thread with a keyframe queue; here it
+is a per-keyframe stage invoked by the pipeline driver after local
+mapping, with identical data flow:
+
+  detect_loop    — BoW candidates above the covisible-min score, with
+                   covisibility-group temporal consistency >= 3 (:115-257)
+  compute_sim3   — descriptor matches -> Sim3 RANSAC -> Sim3 LM ->
+                   loop-neighborhood projection widening (:287-534)
+  correct_loop   — propagate the corrected Sim3 through the covisible
+                   neighborhood, correct points, fuse duplicates, optimize
+                   the essential graph, run global BA (:545-880, :884-1020)
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Dict, List, Optional, Set, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from orb_slam2_commit_tpu.geometry import sim3_solver
+from orb_slam2_commit_tpu.models.kf_database import KeyFrameDatabase
+from orb_slam2_commit_tpu.models.map_state import INVALID, MapState
+from orb_slam2_commit_tpu.optim import ba, pose_graph, sim3_opt
+from orb_slam2_commit_tpu.slam import matchers
+from orb_slam2_commit_tpu.slam.tracking import build_ba_problem, write_back_ba
+from orb_slam2_commit_tpu.utils.config import SLAMConfig
+
+COVISIBILITY_CONSISTENCY_TH = 3   # reference :43
+MIN_SIM3_MATCHES = 20             # reference :320,:433
+MIN_TOTAL_MATCHES = 40            # reference :517
+
+
+@dataclasses.dataclass
+class ConsistentGroup:
+    keyframes: Set[int]
+    consistency: int
+
+
+class LoopCloser:
+    def __init__(
+        self,
+        config: SLAMConfig,
+        map_state: MapState,
+        database: KeyFrameDatabase,
+        essential_min_weight: int = 100,
+    ):
+        self.config = config
+        self.map = map_state
+        self.db = database
+        # Covisibility weight for essential-graph edges (reference uses 100
+        # at ~1000-2000 features/KF, src/Optimizer.cc:1008; scale it with
+        # the feature budget for smaller configurations).
+        self.essential_min_weight = essential_min_weight
+        self.consistent_groups: List[ConsistentGroup] = []
+        self.last_loop_kf: int = -(10 ** 9)
+        self._rng_key = jax.random.key(7)
+        self.n_loops_closed = 0
+
+    # ------------------------------------------------------------------
+
+    def process_keyframe(self, kf: int) -> bool:
+        """Returns True if a loop was closed. The keyframe is always added
+        to the database afterward (reference :93,:255,:276)."""
+        closed = False
+        if (
+            self.map.n_keyframes() > 10
+            and kf - self.last_loop_kf > 10
+        ):
+            candidates = self.detect_loop(kf)
+            if candidates:
+                ok, loop_kf, s_cw, R_cw, t_cw, matches = self.compute_sim3(
+                    kf, candidates
+                )
+                if ok:
+                    self.correct_loop(kf, loop_kf, s_cw, R_cw, t_cw, matches)
+                    self.last_loop_kf = kf
+                    self.n_loops_closed += 1
+                    closed = True
+        self.db.add(kf, self.map.kf_desc[kf], self.map.kf_feat_valid[kf])
+        return closed
+
+    # ------------------------------------------------------------------
+
+    def detect_loop(self, kf: int) -> List[int]:
+        """Oracle: DetectLoop (src/LoopClosing.cc:115-257)."""
+        # Min score among covisible keyframes (:136-156).
+        covis = self.map.covisible_keyframes(kf, None, min_weight=15)
+        v = self.db.bow[kf] if self.db.present[kf] else None
+        if v is None:
+            words, _ = self.db.voc.transform(
+                self.map.kf_desc[kf], self.map.kf_feat_valid[kf]
+            )
+            v = self.db.voc.bow_vector(words)
+        min_score = 1.0
+        for c in covis:
+            if self.db.present[c]:
+                s = self.db.voc.score(v, self.db.bow[c])
+                min_score = min(min_score, s)
+        if not self.db.present[kf]:
+            self.db.add(kf, self.map.kf_desc[kf], self.map.kf_feat_valid[kf])
+
+        candidates = self.db.detect_loop_candidates(self.map, kf, min_score)
+        if not candidates:
+            self.consistent_groups = []
+            return []
+
+        # Temporal consistency over covisibility groups (:172-257).
+        enough: List[int] = []
+        new_groups: List[ConsistentGroup] = []
+        for cand in candidates:
+            group = {cand} | {
+                int(x) for x in self.map.covisible_keyframes(cand, None, 1)
+            }
+            best_consistency = 0
+            matched_prev = False
+            for prev in self.consistent_groups:
+                if group & prev.keyframes:
+                    matched_prev = True
+                    best_consistency = max(
+                        best_consistency, prev.consistency + 1
+                    )
+            new_groups.append(
+                ConsistentGroup(group, best_consistency if matched_prev else 0)
+            )
+            if best_consistency >= COVISIBILITY_CONSISTENCY_TH:
+                enough.append(cand)
+        self.consistent_groups = new_groups
+        return enough
+
+    # ------------------------------------------------------------------
+
+    def compute_sim3(
+        self, kf: int, candidates: List[int]
+    ):
+        """Oracle: ComputeSim3 (src/LoopClosing.cc:287-534). Returns
+        (ok, loop_kf, s_cw, R_cw, t_cw, point matches cur_feat -> pt_id)."""
+        cfg = self.config
+        cam = cfg.camera
+        fix_scale = cfg.sensor != "monocular"
+
+        for cand in candidates:
+            # Descriptor matches between bound features of the two KFs.
+            kf_ok = (self.map.kf_point_idx[kf] >= 0) & self.map.kf_feat_valid[kf]
+            cd_ok = (
+                self.map.kf_point_idx[cand] >= 0
+            ) & self.map.kf_feat_valid[cand]
+            m = matchers.match_brute_force(
+                jnp.asarray(self.map.kf_desc[kf]),
+                jnp.asarray(self.map.kf_angle[kf]),
+                jnp.asarray(kf_ok),
+                jnp.asarray(self.map.kf_desc[cand]),
+                jnp.asarray(self.map.kf_angle[cand]),
+                jnp.asarray(cd_ok),
+            )
+            idx = np.asarray(m.idx)
+            rows = np.where(idx >= 0)[0]
+            if rows.size < MIN_SIM3_MATCHES:
+                continue
+
+            # Camera-frame 3D points of each side.
+            pid1 = self.map.kf_point_idx[kf][rows]
+            pid2 = self.map.kf_point_idx[cand][idx[rows]]
+            R1, t1 = self.map.kf_pose_R[kf], self.map.kf_pose_t[kf]
+            R2, t2 = self.map.kf_pose_R[cand], self.map.kf_pose_t[cand]
+            x1 = self.map.pt_pos[pid1] @ R1.T + t1
+            x2 = self.map.pt_pos[pid2] @ R2.T + t2
+            uv1 = self.map.kf_xy[kf][rows]
+            uv2 = self.map.kf_xy[cand][idx[rows]]
+            sig = np.asarray(cfg.orb.level_sigma2())
+            s2_1 = sig[np.clip(self.map.kf_octave[kf][rows], 0, 7)]
+            s2_2 = sig[np.clip(self.map.kf_octave[cand][idx[rows]], 0, 7)]
+
+            self._rng_key, sub = jax.random.split(self._rng_key)
+            res = sim3_solver.sim3_ransac_jit(
+                sub, jnp.asarray(x1), jnp.asarray(x2),
+                jnp.ones(x1.shape[0], bool),
+                jnp.asarray(uv1), jnp.asarray(uv2),
+                jnp.asarray(s2_1), jnp.asarray(s2_2),
+                cam.fx, cam.fy, cam.cx, cam.cy,
+                fix_scale=fix_scale, min_inliers=MIN_SIM3_MATCHES,
+            )
+            if not bool(res.ok):
+                continue
+
+            opt = sim3_opt.optimize_sim3_jit(
+                res.s12, res.R12, res.t12,
+                jnp.asarray(x1), jnp.asarray(x2),
+                jnp.asarray(uv1), jnp.asarray(uv2),
+                jnp.asarray(1.0 / s2_1), jnp.asarray(1.0 / s2_2),
+                res.inliers,
+                cam.fx, cam.fy, cam.cx, cam.cy, fix_scale=fix_scale,
+            )
+            if int(opt.n_inliers) < MIN_SIM3_MATCHES:
+                continue
+
+            # Corrected Sim3 world -> current:
+            # S_cw = S_c,cand * T_cand,w  (reference mScw = gScm * gSmw :480).
+            s12 = float(opt.s12)
+            R12 = np.asarray(opt.R12)
+            t12 = np.asarray(opt.t12)
+            s_cw = s12
+            R_cw = R12 @ R2
+            t_cw = s12 * R12 @ t2 + t12
+
+            # Widen: project all loop-neighborhood points through S_cw into
+            # the current KF (reference :497-517 + SearchByProjection).
+            neigh = [cand] + [
+                int(x) for x in self.map.covisible_keyframes(cand, 10, 1)
+            ]
+            loop_pts = np.unique(
+                np.concatenate([self.map.kf_point_idx[n] for n in neigh])
+            )
+            loop_pts = loop_pts[loop_pts >= 0]
+            loop_pts = loop_pts[self.map.pt_valid[loop_pts]]
+            # Project with the similarity (scale folded into the pose).
+            pw = self.map.pt_pos[loop_pts]
+            pc = s_cw * (pw @ R_cw.T) + t_cw
+            z = pc[:, 2]
+            with np.errstate(divide="ignore", invalid="ignore"):
+                u = cam.fx * pc[:, 0] / z + cam.cx
+                vv = cam.fy * pc[:, 1] / z + cam.cy
+            in_img = (
+                (z > 0) & (u >= 0) & (u < cam.width) & (vv >= 0) & (vv < cam.height)
+            )
+            proj = np.stack([u, vv], -1)
+            # Match by window + descriptor against current KF features.
+            dists = None
+            total_feat, total_pid = [], []
+            if in_img.sum() >= 1:
+                m2 = matchers.match_fuse(
+                    matchers.FrustumInfo(
+                        visible=jnp.asarray(in_img),
+                        proj=jnp.asarray(proj),
+                        pred_octave=jnp.zeros(loop_pts.size, jnp.int32),
+                        view_cos=jnp.ones(loop_pts.size),
+                    ),
+                    jnp.asarray(self.map.pt_desc[loop_pts]),
+                    jnp.asarray(self.map.kf_xy[kf]),
+                    jnp.asarray(self.map.kf_desc[kf]),
+                    jnp.asarray(self.map.kf_octave[kf]),
+                    jnp.asarray(self.map.kf_feat_valid[kf]),
+                    th=8.0,
+                )
+                i2 = np.asarray(m2.idx)
+                r2 = np.where(i2 >= 0)[0]
+                total_feat = i2[r2].tolist()
+                total_pid = loop_pts[r2].tolist()
+            if len(total_pid) < MIN_TOTAL_MATCHES:
+                continue
+
+            matches = dict(zip(total_feat, total_pid))
+            return True, cand, s_cw, R_cw, t_cw, matches
+        return False, -1, 1.0, np.eye(3), np.zeros(3), {}
+
+    # ------------------------------------------------------------------
+
+    def correct_loop(
+        self,
+        kf: int,
+        loop_kf: int,
+        s_cw: float,
+        R_cw: np.ndarray,
+        t_cw: np.ndarray,
+        matches: Dict[int, int],
+    ) -> None:
+        """Oracle: CorrectLoop (src/LoopClosing.cc:545-880)."""
+        cfg = self.config
+        m = self.map
+        fix_scale = cfg.sensor != "monocular"
+
+        # Snapshot pre-correction poses: the essential graph needs
+        # NON-corrected relative measurements for old edges
+        # (reference NonCorrectedSim3, :604-633).
+        poses_R_old = m.kf_pose_R.copy()
+        poses_t_old = m.kf_pose_t.copy()
+
+        # 1. Corrected Sim3 for the current KF's covisible neighborhood
+        #    (:599-701): S_iw_corr = S_ic * S_cw_corr with S_ic the current
+        #    SE3 relative pose.
+        neighborhood = [kf] + [
+            int(x) for x in m.covisible_keyframes(kf, None, 15)
+        ]
+        R_c, t_c = m.kf_pose_R[kf], m.kf_pose_t[kf]
+        corrected: Dict[int, Tuple[float, np.ndarray, np.ndarray]] = {}
+        for i in neighborhood:
+            Ri, ti = m.kf_pose_R[i], m.kf_pose_t[i]
+            # S_ic = T_iw * T_wc (scale 1).
+            R_ic = Ri @ R_c.T
+            t_ic = ti - R_ic @ t_c
+            s_i = s_cw
+            R_i = R_ic @ R_cw
+            t_i = s_cw * (R_ic @ t_cw) + t_ic
+            corrected[i] = (s_i, R_i, t_i)
+
+        # 2. Correct the neighborhood's map points: p' = S_corr^-1(S_old(p))
+        #    (:637-675). Use each point's earliest corrected observer.
+        done_pts: Set[int] = set()
+        for i in neighborhood:
+            s_i, R_i, t_i = corrected[i]
+            Ri_old, ti_old = m.kf_pose_R[i], m.kf_pose_t[i]
+            pids = m.kf_point_idx[i]
+            pids = np.unique(pids[pids >= 0])
+            pids = [p for p in pids if p not in done_pts and m.pt_valid[p]]
+            if not pids:
+                continue
+            pw = m.pt_pos[np.asarray(pids)]
+            p_cam = pw @ Ri_old.T + ti_old                  # old SE3
+            # Inverse similarity: p_w' = (R_i^T (p_cam - t_i)) / s_i
+            pw_new = ((p_cam - t_i) @ R_i) / s_i
+            m.pt_pos[np.asarray(pids)] = pw_new
+            done_pts.update(int(p) for p in pids)
+
+        # 3. SE3-ify corrected poses: R = R_corr, t = t_corr / s (:681-696).
+        for i in neighborhood:
+            s_i, R_i, t_i = corrected[i]
+            m.kf_pose_R[i] = R_i
+            m.kf_pose_t[i] = t_i / s_i
+
+        # 4. Bind/replace loop point matches in the current KF (:703-728).
+        for feat, pid in matches.items():
+            existing = int(m.kf_point_idx[kf, feat])
+            if existing >= 0 and m.pt_valid[existing] and existing != pid:
+                m.replace_point(existing, int(pid))
+            else:
+                m.kf_point_idx[kf, feat] = pid
+        m.update_covisibility(kf)
+
+        # 5. Essential-graph optimization (:785): loop KF fixed.
+        corrected_set = set(neighborhood)
+        self._optimize_essential_graph(
+            kf, loop_kf, fix_scale, poses_R_old, poses_t_old, corrected_set
+        )
+
+        # 6. Global BA (reference spawns RunGlobalBundleAdjustment :801).
+        self.run_global_ba(anchor_kf=loop_kf)
+        m.refresh_point_stats()
+        m.big_change_idx += 1
+
+    # ------------------------------------------------------------------
+
+    def _optimize_essential_graph(
+        self, kf: int, loop_kf: int, fix_scale: bool,
+        poses_R_old: np.ndarray, poses_t_old: np.ndarray,
+        corrected_set: Set[int],
+    ) -> None:
+        """Build the essential graph from the map and solve it (oracle:
+        OptimizeEssentialGraph, src/Optimizer.cc:888-1218). Edges:
+        spanning tree, covisibility >= 100, and the new loop edge.
+
+        Vertex initial values are the CURRENT poses (corrected for the loop
+        neighborhood); edge measurements come from the PRE-correction
+        relative poses except for the loop edge and intra-neighborhood
+        edges, which use corrected poses — exactly the reference's
+        CorrectedSim3 / NonCorrectedSim3 split (:933-1054).
+        """
+        m = self.map
+        valid_kfs = np.where(m.kf_valid)[0]
+        remap = np.full(m.cfg.max_keyframes, -1, np.int64)
+        remap[valid_kfs] = np.arange(valid_kfs.size)
+
+        ei, ej, raw_pairs = [], [], []
+        seen = set()
+
+        def add_edge(a, b):
+            a, b = int(a), int(b)
+            if a == b or (min(a, b), max(a, b)) in seen:
+                return
+            if remap[a] < 0 or remap[b] < 0:
+                return
+            seen.add((min(a, b), max(a, b)))
+            ei.append(int(remap[a]))
+            ej.append(int(remap[b]))
+            raw_pairs.append((a, b))
+
+        for k in valid_kfs:
+            parent = m.kf_parent[k]
+            if parent >= 0 and m.kf_valid[parent]:
+                add_edge(k, parent)
+            for c in m.covisible_keyframes(
+                int(k), None, min_weight=self.essential_min_weight
+            ):
+                add_edge(k, c)
+        add_edge(kf, loop_kf)
+
+        if not ei:
+            return
+        Kv = valid_kfs.size
+        s = np.ones(Kv)
+        R = m.kf_pose_R[valid_kfs].copy()
+        t = m.kf_pose_t[valid_kfs].copy()
+        ms, mR, mt = [], [], []
+        for (a, b) in raw_pairs:
+            both_corrected = a in corrected_set and b in corrected_set
+            is_loop = {a, b} == {kf, loop_kf}
+            if both_corrected or is_loop:
+                Ra, ta = m.kf_pose_R[a], m.kf_pose_t[a]
+                Rb, tb = m.kf_pose_R[b], m.kf_pose_t[b]
+            else:
+                Ra, ta = poses_R_old[a], poses_t_old[a]
+                Rb, tb = poses_R_old[b], poses_t_old[b]
+            Rab = Ra @ Rb.T
+            tab = ta - Rab @ tb
+            ms.append(1.0)
+            mR.append(Rab)
+            mt.append(tab)
+
+        fixed = np.zeros(Kv, bool)
+        fixed[remap[loop_kf]] = True
+        graph = pose_graph.Sim3Graph(
+            s=jnp.asarray(s), R=jnp.asarray(R), t=jnp.asarray(t),
+            fixed=jnp.asarray(fixed),
+            edge_i=jnp.asarray(ei, jnp.int32),
+            edge_j=jnp.asarray(ej, jnp.int32),
+            meas_s=jnp.asarray(ms), meas_R=jnp.asarray(np.stack(mR)),
+            meas_t=jnp.asarray(np.stack(mt)),
+            edge_valid=jnp.ones(len(ei), bool),
+        )
+        out = pose_graph.optimize_sim3_graph_jit(
+            graph, n_iters=20, fix_scale=fix_scale
+        )
+        s_out = np.asarray(out.s)
+        R_out = np.asarray(out.R)
+        t_out = np.asarray(out.t)
+        # Correct points through their reference KF's Sim3 delta
+        # (reference :1174-1199): each point exactly ONCE, via its first
+        # valid observer. Then SE3-ify poses.
+        done: Set[int] = set()
+        for local, k in enumerate(valid_kfs):
+            R_old, t_old = m.kf_pose_R[k], m.kf_pose_t[k]
+            pids = m.kf_point_idx[k]
+            pids = np.unique(pids[pids >= 0])
+            pids = pids[m.pt_valid[pids]] if pids.size else pids
+            pids = np.asarray([p for p in pids if int(p) not in done], int)
+            if pids.size:
+                pw = m.pt_pos[pids]
+                p_cam = pw @ R_old.T + t_old
+                pw_new = ((p_cam - t_out[local]) @ R_out[local]) / s_out[local]
+                m.pt_pos[pids] = pw_new
+                done.update(int(p) for p in pids)
+        for local, k in enumerate(valid_kfs):
+            m.kf_pose_R[k] = R_out[local]
+            m.kf_pose_t[k] = t_out[local] / s_out[local]
+
+    # ------------------------------------------------------------------
+
+    def run_global_ba(self, anchor_kf: int = 0, n_iters: int = 10) -> None:
+        """Full-map BA (oracle: RunGlobalBundleAdjustment,
+        src/LoopClosing.cc:884-1020 / GlobalBundleAdjustemnt,
+        src/Optimizer.cc:41-284)."""
+        m = self.map
+        cam = self.config.camera
+        valid_kfs = np.where(m.kf_valid)[0]
+        if valid_kfs.size < 3:
+            return
+        free = [int(k) for k in valid_kfs if k != anchor_kf]
+        pts = np.where(m.pt_valid)[0]
+        assembled = build_ba_problem(
+            m, free_kfs=np.asarray(free), fixed_kfs=np.asarray([anchor_kf]),
+            point_ids=pts, orb_cfg=self.config.orb,
+        )
+        out, result = ba.bundle_adjust_jit(
+            assembled.problem, cam.fx, cam.fy, cam.cx, cam.cy, cam.bf,
+            n_iters=n_iters, point_chunk=1024,
+        )
+        write_back_ba(self.map, assembled, out, result, erase_outliers=False)
