@@ -67,6 +67,9 @@ class MapState:
 
     next_kf: int = 0
     next_pt: int = 0
+    # Callbacks invoked with a keyframe id when it is culled (e.g. the
+    # place-recognition database erasing its inverted-file entry).
+    remove_kf_hooks: Optional[list] = None
     # Monotonically increasing map-change counter
     # (reference: Map::InformNewBigChange, src/Map.cc:70-80).
     big_change_idx: int = 0
@@ -165,6 +168,8 @@ class MapState:
         loop of src/KeyFrame.cc:600-668 — children hop to the grandparent,
         which is always a valid covisible candidate)."""
         assert self.kf_valid[k]
+        for hook in (self.remove_kf_hooks or []):
+            hook(int(k))
         self.kf_valid[k] = False
         self.kf_point_idx[k] = INVALID
         self.kf_feat_valid[k] = False

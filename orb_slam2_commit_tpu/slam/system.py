@@ -24,7 +24,12 @@ from orb_slam2_commit_tpu.utils.config import SLAMConfig
 
 
 class System:
-    def __init__(self, config: SLAMConfig):
+    def __init__(self, config: SLAMConfig, vocabulary=None):
+        """vocabulary: optional BinaryVocabulary (or path to a saved one).
+        When given, the keyframe database, BoW relocalization candidates
+        and the loop-closing stage are enabled — the full reference
+        pipeline (src/System.cc:61-100 loads ORBvoc.txt and builds the
+        KeyFrameDatabase + LoopClosing thread)."""
         self.config = config
         # Monocular initialization extracts 2x features, like the
         # reference's dedicated init extractor (src/Tracking.cc:120-126).
@@ -40,6 +45,29 @@ class System:
         self.map = MapState.create(config.map, n_feat)
         self.tracker = Tracker(config, self.map)
         self.mapper = LocalMapper(config, self.map)
+        self.vocabulary = None
+        self.kf_database = None
+        self.loop_closer = None
+        if vocabulary is not None:
+            from orb_slam2_commit_tpu.models.kf_database import KeyFrameDatabase
+            from orb_slam2_commit_tpu.models.vocabulary import BinaryVocabulary
+            from orb_slam2_commit_tpu.slam.loop_closing import LoopCloser
+
+            if isinstance(vocabulary, str):
+                vocabulary = BinaryVocabulary.load_text(vocabulary)
+            self.vocabulary = vocabulary
+            self.kf_database = KeyFrameDatabase(
+                vocabulary, config.map.max_keyframes
+            )
+            self.tracker.kf_database = self.kf_database
+            self.map.remove_kf_hooks = [self.kf_database.erase]
+            # Scale the essential-graph edge threshold with the feature
+            # budget (reference constant 100 assumes 1000-2000 features).
+            emw = max(20, config.orb.n_features // 10)
+            self.loop_closer = LoopCloser(
+                config, self.map, self.kf_database,
+                essential_min_weight=min(100, emw),
+            )
         self.frame_count = 0
         self._shutdown = False
 
@@ -94,12 +122,21 @@ class System:
         pose = self.tracker.track(frame)
 
         if not was_initialized and self.tracker.state == TrackingState.OK:
-            # Map was just created: nothing more to do this frame.
+            # Map was just created: register the initial keyframes with the
+            # place-recognition database, nothing more this frame.
+            if self.kf_database is not None:
+                for k in range(self.map.next_kf):
+                    if self.map.kf_valid[k] and not self.kf_database.present[k]:
+                        self.kf_database.add(
+                            k, self.map.kf_desc[k], self.map.kf_feat_valid[k]
+                        )
             return pose
 
         if pose is not None and self.tracker.need_new_keyframe(frame):
             kf = self._insert_keyframe(frame)
             self.mapper.process_keyframe(kf)
+            if self.loop_closer is not None:
+                self.loop_closer.process_keyframe(kf)
             self.tracker.ref_kf = kf
             self.tracker.last_kf_frame_id = frame.frame_id
         return pose
