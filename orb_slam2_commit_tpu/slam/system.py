@@ -166,6 +166,35 @@ class System:
         self.tracker = Tracker(self.config, self.map)
         self.mapper = LocalMapper(self.config, self.map)
 
+    def save_map(self, path: str) -> None:
+        """Persist the full map (the reference's missing SaveMap,
+        include/System.h:116-118)."""
+        from orb_slam2_commit_tpu.models import serialization
+
+        serialization.save_map(self.map, path)
+
+    def load_map(self, path: str) -> None:
+        """Load a map and rewire every pipeline stage to it; typically
+        followed by activate_localization_mode()."""
+        from orb_slam2_commit_tpu.models import serialization
+
+        self.map = serialization.load_map(path)
+        self.tracker.map = self.map
+        self.mapper.map = self.map
+        # Re-point the tracker at the newest keyframe for relocalization.
+        valid = np.where(self.map.kf_valid)[0]
+        self.tracker.ref_kf = int(valid[-1]) if valid.size else -1
+        self.tracker.state = (
+            TrackingState.LOST if valid.size else TrackingState.NOT_INITIALIZED
+        )
+        if self.kf_database is not None:
+            self.kf_database.bow[:] = 0
+            self.kf_database.present[:] = False
+            serialization.rebuild_database(self.map, self.kf_database)
+            self.map.remove_kf_hooks = [self.kf_database.erase]
+        if self.loop_closer is not None:
+            self.loop_closer.map = self.map
+
     def shutdown(self) -> None:
         self._shutdown = True
 
