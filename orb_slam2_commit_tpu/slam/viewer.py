@@ -1,0 +1,145 @@
+"""Headless visualization + observability.
+
+TPU-native replacement for the reference's Pangolin GUI stack (Viewer /
+FrameDrawer / MapDrawer, reference: src/Viewer.cc, src/FrameDrawer.cc,
+src/MapDrawer.cc): renders the same surfaces — current frame with
+keypoint/tracking overlays and a status bar (FrameDrawer::DrawFrame
+:38-142, DrawTextInfo :144-180), and a top-down map view with keyframes,
+covisibility graph and points (MapDrawer::DrawMapPoints :44,
+DrawKeyFrames :84) — into numpy images for saving/streaming, plus a
+metrics dict for programmatic observability (the reference's
+tracking-state getters, src/System.cc:488-504).
+"""
+
+from __future__ import annotations
+
+from typing import Dict, Optional
+
+import numpy as np
+
+from orb_slam2_commit_tpu.models.map_state import MapState
+from orb_slam2_commit_tpu.slam.frame import Frame
+from orb_slam2_commit_tpu.slam.tracking import Tracker
+
+
+def draw_frame(
+    frame: Frame, image: np.ndarray, state_name: str, map_state: MapState
+) -> np.ndarray:
+    """Current-frame overlay [H, W, 3] uint8 (oracle: FrameDrawer)."""
+    h, w = image.shape
+    canvas = np.stack([image] * 3, axis=-1).astype(np.uint8)
+
+    def box(u, v, half, color):
+        u, v = int(round(u)), int(round(v))
+        u0, u1 = max(u - half, 0), min(u + half, w - 1)
+        v0, v1 = max(v - half, 0), min(v + half, h - 1)
+        canvas[v0:v1 + 1, u0] = color
+        canvas[v0:v1 + 1, u1] = color
+        canvas[v0, u0:u1 + 1] = color
+        canvas[v1, u0:u1 + 1] = color
+
+    green = np.array([0, 255, 0], np.uint8)     # tracked map point
+    blue = np.array([80, 160, 255], np.uint8)   # detected only
+    for i in np.where(frame.valid)[0]:
+        u, v = frame.xy_raw[i]
+        if frame.point_ids[i] >= 0:
+            box(u, v, 3, green)
+        else:
+            box(u, v, 2, blue)
+
+    # Status bar (text as a brightness strip header; the reference prints
+    # "SLAM MODE | KFs | MPs | Matches" — we encode counts via the metrics
+    # dict and draw a simple bar here).
+    n_tracked = int((frame.point_ids >= 0).sum())
+    bar_h = 12
+    canvas[:bar_h] = 32
+    frac = min(n_tracked / 200.0, 1.0)
+    canvas[:bar_h, : int(frac * w)] = np.array([0, 180, 0], np.uint8)
+    return canvas
+
+
+def draw_map_topdown(
+    map_state: MapState,
+    current_pose: Optional[tuple] = None,
+    size: int = 512,
+    margin: float = 1.2,
+) -> np.ndarray:
+    """Top-down (x-z) map view [size, size, 3] uint8 (oracle: MapDrawer):
+    map points (white), keyframes (blue), covisibility edges (gray),
+    current camera (green)."""
+    canvas = np.zeros((size, size, 3), np.uint8)
+    pts = map_state.pt_pos[map_state.pt_valid]
+    kfs = np.where(map_state.kf_valid)[0]
+    centers = np.stack(
+        [
+            -map_state.kf_pose_R[k].T @ map_state.kf_pose_t[k]
+            for k in kfs
+        ]
+    ) if kfs.size else np.zeros((0, 3))
+
+    all_xz = np.concatenate(
+        [pts[:, [0, 2]] if pts.size else np.zeros((0, 2)),
+         centers[:, [0, 2]] if centers.size else np.zeros((0, 2))]
+    )
+    if all_xz.shape[0] == 0:
+        return canvas
+    lo = all_xz.min(0) - 1e-3
+    hi = all_xz.max(0) + 1e-3
+    center = (lo + hi) / 2
+    scale = (size / 2 - 8) / (margin * max((hi - lo).max() / 2, 1e-6))
+
+    def to_px(xz):
+        p = (xz - center) * scale
+        return (
+            np.clip(p[..., 0] + size / 2, 0, size - 1).astype(int),
+            np.clip(size / 2 - p[..., 1], 0, size - 1).astype(int),
+        )
+
+    if pts.size:
+        u, v = to_px(pts[:, [0, 2]])
+        canvas[v, u] = [200, 200, 200]
+
+    # Covisibility edges (weight >= threshold).
+    th = map_state.cfg.covisibility_min_weight
+    for a_i, a in enumerate(kfs):
+        for b_i, b in enumerate(kfs):
+            if b <= a or map_state.cov_weight[a, b] < th:
+                continue
+            ua, va = to_px(centers[a_i, [0, 2]])
+            ub, vb = to_px(centers[b_i, [0, 2]])
+            n = max(abs(int(ub) - int(ua)), abs(int(vb) - int(va)), 1)
+            us = np.linspace(ua, ub, n + 1).astype(int)
+            vs = np.linspace(va, vb, n + 1).astype(int)
+            canvas[vs, us] = [90, 90, 90]
+
+    if centers.size:
+        u, v = to_px(centers[:, [0, 2]])
+        for ui, vi in zip(np.atleast_1d(u), np.atleast_1d(v)):
+            canvas[max(vi - 2, 0):vi + 3, max(ui - 2, 0):ui + 3] = [60, 120, 255]
+
+    if current_pose is not None:
+        R, t = current_pose
+        c = -R.T @ t
+        u, v = to_px(np.asarray([c[0], c[2]]))
+        canvas[max(v - 3, 0):v + 4, max(u - 3, 0):u + 4] = [0, 255, 0]
+    return canvas
+
+
+def collect_metrics(tracker: Tracker, map_state: MapState) -> Dict[str, float]:
+    """Observability counters (the reference's System getters + FrameDrawer
+    status text, src/FrameDrawer.cc:144-180)."""
+    return {
+        "state": tracker.state.name,
+        "n_keyframes": map_state.n_keyframes(),
+        "n_points": map_state.n_points(),
+        "n_inliers": tracker.n_inliers,
+        "ref_kf": tracker.ref_kf,
+        "big_change_idx": map_state.big_change_idx,
+        "n_trajectory_entries": len(tracker.trajectory),
+    }
+
+
+def save_png(path: str, image: np.ndarray) -> None:
+    from PIL import Image
+
+    Image.fromarray(image).save(path)
