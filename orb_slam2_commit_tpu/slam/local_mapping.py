@@ -15,7 +15,9 @@ or from a host thread — the math is identical):
 
 from __future__ import annotations
 
+import contextlib
 import dataclasses
+import threading
 from typing import Dict, List, Optional
 
 import jax.numpy as jnp
@@ -46,18 +48,23 @@ class LocalMapper:
         # Abort flag: a pending keyframe interrupts local BA
         # (reference: mbAbortBA, src/LocalMapping.cc:149-154).
         self.abort_ba = False
+        # Optional coarse map lock for the async pipeline: held for host
+        # map mutations, released during the device-side BA solve.
+        self.map_lock = contextlib.nullcontext()
 
     # ------------------------------------------------------------------
 
     def process_keyframe(self, kf: int) -> None:
-        self.map.refresh_point_stats()
-        self._cull_recent_points(kf)
-        self._create_new_points(kf)
-        self._fuse_neighbors(kf)
-        self.map.refresh_point_stats()
+        with self.map_lock:
+            self.map.refresh_point_stats()
+            self._cull_recent_points(kf)
+            self._create_new_points(kf)
+            self._fuse_neighbors(kf)
+            self.map.refresh_point_stats()
         if self.map.n_keyframes() > 2 and not self.abort_ba:
             self._local_ba(kf)
-        self._cull_keyframes(kf)
+        with self.map_lock:
+            self._cull_keyframes(kf)
 
     # ------------------------------------------------------------------
 
@@ -326,19 +333,24 @@ class LocalMapper:
             if not free:
                 return
 
-        assembled = build_ba_problem(
-            self.map,
-            free_kfs=np.asarray(free),
-            fixed_kfs=np.asarray(fixed),
-            point_ids=pts,
-            orb_cfg=self.config.orb,
-        )
+        with self.map_lock:
+            assembled = build_ba_problem(
+                self.map,
+                free_kfs=np.asarray(free),
+                fixed_kfs=np.asarray(fixed),
+                point_ids=pts,
+                orb_cfg=self.config.orb,
+            )
+        # Device solve runs without the lock: tracking proceeds in parallel
+        # (the reference's LocalMapping thread holds no map lock during the
+        # g2o solve either, src/Optimizer.cc:737-798).
         out, result = ba.local_bundle_adjust(
             assembled.problem, cam.fx, cam.fy, cam.cx, cam.cy, cam.bf,
             point_chunk=1024,
         )
-        write_back_ba(self.map, assembled, out, result)
-        self.map.refresh_point_stats()
+        with self.map_lock:
+            write_back_ba(self.map, assembled, out, result)
+            self.map.refresh_point_stats()
 
     # ------------------------------------------------------------------
 

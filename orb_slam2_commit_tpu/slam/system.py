@@ -24,12 +24,18 @@ from orb_slam2_commit_tpu.utils.config import SLAMConfig
 
 
 class System:
-    def __init__(self, config: SLAMConfig, vocabulary=None):
+    def __init__(self, config: SLAMConfig, vocabulary=None,
+                 async_mapping: bool = False):
         """vocabulary: optional BinaryVocabulary (or path to a saved one).
         When given, the keyframe database, BoW relocalization candidates
         and the loop-closing stage are enabled — the full reference
         pipeline (src/System.cc:61-100 loads ORBvoc.txt and builds the
-        KeyFrameDatabase + LoopClosing thread)."""
+        KeyFrameDatabase + LoopClosing thread).
+
+        async_mapping=True runs local mapping (+ loop closing) on a
+        background thread with a keyframe queue, like the reference's
+        LocalMapping/LoopClosing threads (src/System.cc:95-100); False
+        keeps the deterministic synchronous pipeline."""
         self.config = config
         # Monocular initialization extracts 2x features, like the
         # reference's dedicated init extractor (src/Tracking.cc:120-126).
@@ -70,6 +76,18 @@ class System:
             )
         self.frame_count = 0
         self._shutdown = False
+        self.mapping_worker = None
+        self.map_lock = None
+        if async_mapping:
+            import threading
+
+            from orb_slam2_commit_tpu.slam.async_pipeline import MappingWorker
+
+            self.map_lock = threading.RLock()
+            self.mapper.map_lock = self.map_lock
+            self.mapping_worker = MappingWorker(
+                self.mapper, self.loop_closer, self.map_lock
+            )
 
     @staticmethod
     def _n_features(config: SLAMConfig) -> int:
@@ -119,7 +137,11 @@ class System:
         was_initialized = self.tracker.state in (
             TrackingState.OK, TrackingState.LOST
         )
-        pose = self.tracker.track(frame)
+        if self.map_lock is not None:
+            with self.map_lock:
+                pose = self.tracker.track(frame)
+        else:
+            pose = self.tracker.track(frame)
 
         if not was_initialized and self.tracker.state == TrackingState.OK:
             # Map was just created: register the initial keyframes with the
@@ -133,10 +155,15 @@ class System:
             return pose
 
         if pose is not None and self.tracker.need_new_keyframe(frame):
-            kf = self._insert_keyframe(frame)
-            self.mapper.process_keyframe(kf)
-            if self.loop_closer is not None:
-                self.loop_closer.process_keyframe(kf)
+            if self.mapping_worker is not None:
+                with self.map_lock:
+                    kf = self._insert_keyframe(frame)
+                self.mapping_worker.insert_keyframe(kf)
+            else:
+                kf = self._insert_keyframe(frame)
+                self.mapper.process_keyframe(kf)
+                if self.loop_closer is not None:
+                    self.loop_closer.process_keyframe(kf)
             self.tracker.ref_kf = kf
             self.tracker.last_kf_frame_id = frame.frame_id
         return pose
@@ -196,6 +223,11 @@ class System:
             self.loop_closer.map = self.map
 
     def shutdown(self) -> None:
+        """Drain and stop background workers (oracle: System::Shutdown,
+        src/System.cc:315-334 requests finish on all threads and waits)."""
+        if self.mapping_worker is not None:
+            self.mapping_worker.wait_idle()
+            self.mapping_worker.join()
         self._shutdown = True
 
     def map_changed(self) -> int:
