@@ -243,7 +243,19 @@ class MapState:
     def update_covisibility(self, k: int) -> None:
         """Recompute covisibility row/col for keyframe k: weight =
         #shared map points (reference: KeyFrame::UpdateConnections,
-        src/KeyFrame.cc:367-493; edge threshold applied by consumers)."""
+        src/KeyFrame.cc:367-493; edge threshold applied by consumers).
+
+        Uses the native C++ map-core when available (single pass with a
+        point-mark table) with a NumPy fallback."""
+        from orb_slam2_commit_tpu.models import native_core
+
+        row = native_core.covis_row(
+            self.kf_point_idx, self.kf_valid, self.cfg.max_points, int(k)
+        )
+        if row is not None:
+            self.cov_weight[k, :] = row
+            self.cov_weight[:, k] = row
+            return
         ids_k = self.kf_point_idx[k]
         ids_k = ids_k[ids_k >= 0]
         self.cov_weight[k, :] = 0
@@ -269,7 +281,15 @@ class MapState:
         return out[:n] if n is not None else out
 
     def observation_count(self) -> np.ndarray:
-        """[P] number of keyframes observing each point."""
+        """[P] number of keyframes observing each point (native C++ path
+        when available)."""
+        from orb_slam2_commit_tpu.models import native_core
+
+        counts = native_core.obs_counts(
+            self.kf_point_idx, self.kf_valid, self.cfg.max_points
+        )
+        if counts is not None:
+            return counts.astype(np.int64)
         counts = np.zeros(self.cfg.max_points, np.int64)
         obs = self.kf_point_idx[self.kf_valid]
         obs = obs[obs >= 0]
