@@ -169,7 +169,38 @@ class System:
         return pose
 
     def _insert_keyframe(self, frame: Frame) -> int:
-        """Oracle: Tracking::CreateNewKeyFrame (src/Tracking.cc:1311-1401)."""
+        """Oracle: Tracking::CreateNewKeyFrame (src/Tracking.cc:1311-1401).
+        For stereo/RGB-D, unbound features with close depth spawn new map
+        points directly (nearest-first, at least 100 or all closer than
+        th_depth, :1335-1392)."""
+        cam = self.config.camera
+        if self.config.sensor != "monocular":
+            close_th = cam.baseline * cam.th_depth
+            unbound = (
+                frame.valid & (frame.point_ids < 0) & (frame.depth > 0)
+            )
+            feats = np.where(unbound)[0]
+            if feats.size:
+                order = feats[np.argsort(frame.depth[feats])]
+                z = frame.depth[order]
+                n_close = int((z < close_th).sum())
+                take = order[: max(min(100, order.size), n_close)]
+                zt = frame.depth[take].astype(np.float64)
+                x = (frame.xy[take, 0] - cam.cx) / cam.fx * zt
+                y = (frame.xy[take, 1] - cam.cy) / cam.fy * zt
+                p_cam = np.stack([x, y, zt], -1)
+                pw = (p_cam - frame.t) @ frame.R
+                capacity = self.map.cfg.max_points - self.map.next_pt
+                take = take[:capacity]
+                if take.size:
+                    from orb_slam2_commit_tpu.slam.local_mapping import RecentPoint
+
+                    ids = self.map.add_points(pw[: take.size], self.map.next_kf)
+                    frame.point_ids[take] = ids
+                    for pid in ids:
+                        self.mapper.recent_points.append(
+                            RecentPoint(int(pid), self.map.next_kf)
+                        )
         return self.map.add_keyframe(
             frame.R, frame.t, frame.xy, frame.octave, frame.angle, frame.desc,
             frame.valid, frame.point_ids, frame.frame_id, frame.timestamp,
