@@ -61,18 +61,8 @@ def _has_arc(mask16: jnp.ndarray) -> jnp.ndarray:
     return (r & 0xFFFF) != 0
 
 
-def fast_score_map(
-    image: jnp.ndarray, threshold: float
-) -> Tuple[jnp.ndarray, jnp.ndarray]:
-    """FAST-9/16 segment test over the whole image.
-
-    Returns (corner_mask[H, W] bool, score[H, W] float32). The score is the
-    sum of |p_i - c| - t over the stronger of the bright/dark sets — the
-    same flavor of V-score OpenCV uses for FAST non-max suppression.
-    """
-    stack = _circle_stack(image)
-    center = image[None]
-    d = stack - center
+def _score_from_diffs(d: jnp.ndarray, threshold: float):
+    """Segment test + V-score from precomputed circle diffs d[16, H, W]."""
     bright = d > threshold
     dark = d < -threshold
 
@@ -86,6 +76,19 @@ def fast_score_map(
     dark_score = jnp.sum(jnp.maximum(-d - threshold, 0.0), axis=0)
     score = jnp.maximum(bright_score, dark_score)
     return is_corner, jnp.where(is_corner, score, 0.0)
+
+
+def fast_score_map(
+    image: jnp.ndarray, threshold: float
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """FAST-9/16 segment test over the whole image.
+
+    Returns (corner_mask[H, W] bool, score[H, W] float32). The score is the
+    sum of |p_i - c| - t over the stronger of the bright/dark sets — the
+    same flavor of V-score OpenCV uses for FAST non-max suppression.
+    """
+    d = _circle_stack(image) - image[None]
+    return _score_from_diffs(d, threshold)
 
 
 def nms_3x3(score: jnp.ndarray) -> jnp.ndarray:
@@ -118,10 +121,12 @@ def two_threshold_scores(
 
     Mirrors the reference's retry logic (src/ORBextractor.cc:892-915): each
     cell first tries iniThFAST; only cells with no corner at the high
-    threshold accept the low-threshold corners.
+    threshold accept the low-threshold corners. The 16-image circle stack
+    is shared between the two thresholds (it dominates FAST bandwidth).
     """
-    _, score_hi = fast_score_map(image, ini_threshold)
-    _, score_lo = fast_score_map(image, min_threshold)
+    d = _circle_stack(image) - image[None]
+    _, score_hi = _score_from_diffs(d, ini_threshold)
+    _, score_lo = _score_from_diffs(d, min_threshold)
 
     h, w = image.shape
     pad_h = (-h) % cell_size

@@ -391,10 +391,13 @@ class Tracker:
         bound = frame.point_ids[frame.point_ids >= 0]
         if bound.size == 0:
             return np.zeros(0, int)
-        counts = np.zeros(self.map.cfg.max_keyframes, np.int64)
-        valid_kfs = np.where(self.map.kf_valid)[0]
-        for k in valid_kfs:
-            counts[k] = np.isin(self.map.kf_point_idx[k], bound).sum()
+        # Vectorized observer counting: mark the frame's points, then one
+        # masked gather over the whole observation table.
+        mark = np.zeros(self.map.cfg.max_points, bool)
+        mark[bound] = True
+        kpi = self.map.kf_point_idx
+        hit = mark[np.maximum(kpi, 0)] & (kpi >= 0)
+        counts = hit.sum(axis=1) * self.map.kf_valid
         k1 = np.where(counts > 0)[0]
         k1 = k1[np.argsort(-counts[k1], kind="stable")]
         local = list(k1[: self.config.tracker.max_local_keyframes])
