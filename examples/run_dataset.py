@@ -61,6 +61,24 @@ def main(argv):
         cfg = settings.config_from_settings(
             yaml, sensor="monocular", width=752, height=480
         )
+    elif mode == "euroc-stereo":
+        # Online rectification from the settings' LEFT.*/RIGHT.* blocks
+        # (oracle: stereo_euroc.cc:55-98).
+        seq_dir, yaml = args[1], args[2]
+        out = args[3] if len(args) > 3 else "trajectory"
+        seq = datasets.load_euroc(seq_dir, stereo=True)
+        cfg = settings.config_from_settings(
+            yaml, sensor="stereo", width=752, height=480
+        )
+        s = settings.parse_opencv_yaml(yaml)
+        maps_l = datasets.rectify_maps(
+            s["LEFT.K"], s["LEFT.D"].reshape(-1), s["LEFT.R"],
+            s["LEFT.P"][:3, :3], 752, 480,
+        )
+        maps_r = datasets.rectify_maps(
+            s["RIGHT.K"], s["RIGHT.D"].reshape(-1), s["RIGHT.R"],
+            s["RIGHT.P"][:3, :3], 752, 480,
+        )
     else:
         print(__doc__)
         return 1
@@ -72,9 +90,13 @@ def main(argv):
     if flags.get("--localization"):
         sys_.activate_localization_mode()
 
+    rectify = mode == "euroc-stereo"
     times = []
     for i, (ts, img, aux) in enumerate(seq.frames()):
         t0 = time.perf_counter()
+        if rectify:
+            img = datasets.remap_bilinear(img, *maps_l)
+            aux = datasets.remap_bilinear(aux, *maps_r)
         if cfg.sensor == "rgbd":
             sys_.track_rgbd(img, aux, ts)
         elif cfg.sensor == "stereo":

@@ -94,18 +94,59 @@ def gather_patches(
     )
 
 
+def _moment_maps(image: jnp.ndarray):
+    """Dense (m10, m01) intensity-moment maps of the circular patch.
+
+    Decomposes the 31x31 circular-masked correlation into horizontal
+    weighted/box row sums (one per distinct circle half-width) followed by
+    vertical shifted accumulation — a few hundred fusable elementwise ops
+    on the VPU instead of a large-kernel conv (which XLA lowers poorly) or
+    961-element per-keypoint gathers (which the TPU hates).
+    """
+    umax = circular_umax()                       # half-width per |dy|
+    distinct_u = sorted(set(int(u) for u in umax))
+    hp = HALF_PATCH_SIZE
+
+    # Horizontal phase: for each distinct half-width u, the weighted sum
+    # sum_dx dx*I(y, x+dx) and box sum sum_dx I(y, x+dx) over |dx| <= u.
+    acc_w = {u: jnp.zeros_like(image) for u in distinct_u}
+    acc_b = {u: jnp.zeros_like(image) for u in distinct_u}
+    for dx in range(-hp, hp + 1):
+        s = jnp.roll(image, -dx, axis=1)
+        for u in distinct_u:
+            if abs(dx) <= u:
+                if dx != 0:
+                    acc_w[u] = acc_w[u] + float(dx) * s
+                acc_b[u] = acc_b[u] + s
+
+    # Vertical phase.
+    m10 = jnp.zeros_like(image)
+    m01 = jnp.zeros_like(image)
+    for dy in range(-hp, hp + 1):
+        u = int(umax[abs(dy)])
+        m10 = m10 + jnp.roll(acc_w[u], -dy, axis=0)
+        if dy != 0:
+            m01 = m01 + float(dy) * jnp.roll(acc_b[u], -dy, axis=0)
+    return m10, m01
+
+
 def ic_angle(image: jnp.ndarray, yx: jnp.ndarray) -> jnp.ndarray:
     """Intensity-centroid orientation, radians in (-pi, pi].
 
     Oracle: IC_Angle (src/ORBextractor.cc:77-105): m10 = sum x*I,
     m01 = sum y*I over the circular patch; angle = atan2(m01, m10).
+
+    TPU formulation: moments for EVERY pixel via shift-decomposed dense
+    sums, then only N scalars gathered at the keypoints — dense compute
+    beats 961-element per-keypoint gathers on TPU.
     """
-    patches = gather_patches(image, yx)  # [N, 31, 31]
-    mask = jnp.asarray(_circular_mask())
-    coords = jnp.arange(-HALF_PATCH_SIZE, HALF_PATCH_SIZE + 1, dtype=image.dtype)
-    masked = patches * mask[None]
-    m10 = jnp.sum(masked * coords[None, None, :], axis=(1, 2))
-    m01 = jnp.sum(masked * coords[None, :, None], axis=(1, 2))
+    h, w = image.shape
+    m10_map, m01_map = _moment_maps(image)
+    ys = jnp.clip(yx[:, 0], 0, h - 1)
+    xs = jnp.clip(yx[:, 1], 0, w - 1)
+    flat = ys * w + xs
+    m10 = jnp.take(m10_map.reshape(-1), flat)
+    m01 = jnp.take(m01_map.reshape(-1), flat)
     return jnp.arctan2(m01, m10)
 
 
