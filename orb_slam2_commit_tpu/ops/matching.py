@@ -111,6 +111,48 @@ def best_match_with_ratio(
     )
 
 
+def use_pallas() -> bool:
+    """Route matchers through the fused Pallas kernels?
+
+    Opt-in via ORB_TPU_FORCE_PALLAS=1 (Mosaic-compiled on TPU,
+    interpreter mode on CPU — used by tests). Standalone the Pallas
+    matcher beats the XLA VPU route (133us vs 154us at [1024,1024] on
+    v5e), but embedding a pallas_call inside the large jitted frontend
+    graph currently makes the remote axon compile pathologically slow,
+    so the default stays the XLA route until that is resolved.
+    Evaluated at trace time, so each jitted matcher bakes in one route.
+    """
+    import os
+
+    return os.environ.get("ORB_TPU_FORCE_PALLAS") == "1"
+
+
+def match_from_top2(
+    best: jnp.ndarray,
+    best_idx: jnp.ndarray,
+    second: jnp.ndarray,
+    second_idx: jnp.ndarray,
+    max_dist: int,
+    ratio: float = 1.0,
+    octave_b: Optional[jnp.ndarray] = None,
+) -> MatchResult:
+    """best_match_with_ratio's gating applied to precomputed row top-2
+    results (from the fused Pallas kernels). Identical semantics."""
+    ok = best <= max_dist
+    if ratio < 1.0:
+        ratio_ok = best.astype(jnp.float32) < ratio * second.astype(jnp.float32)
+        if octave_b is not None:
+            same_octave = (
+                octave_b[best_idx] == octave_b[second_idx]
+            ) & (second < BIG_DIST)
+            ratio_ok = ratio_ok | ~same_octave
+        ok = ok & ratio_ok
+    return MatchResult(
+        idx=jnp.where(ok, best_idx, INVALID),
+        dist=jnp.where(ok, best, BIG_DIST).astype(jnp.int32),
+    )
+
+
 def mutual_consistency(
     ab: MatchResult, ba: MatchResult
 ) -> MatchResult:

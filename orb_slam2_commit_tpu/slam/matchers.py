@@ -17,6 +17,7 @@ import jax
 import jax.numpy as jnp
 
 from orb_slam2_commit_tpu.ops import matching
+from orb_slam2_commit_tpu.ops import pallas_matching
 from orb_slam2_commit_tpu.ops.matching import (
     BIG_DIST,
     INVALID,
@@ -24,6 +25,36 @@ from orb_slam2_commit_tpu.ops.matching import (
     TH_HIGH,
     TH_LOW,
 )
+
+
+def _projection_match(
+    pt_desc, proj, radius, oct_lo, oct_hi, valid_a,
+    xy, desc, octave, valid_b,
+    max_dist, ratio=1.0, ratio_octave_rule=False,
+) -> MatchResult:
+    """Window + octave-band projection matching, routed to the fused
+    Pallas kernel on TPU or the dense XLA path on CPU. Shared by the
+    SearchByProjection / Fuse family."""
+    if matching.use_pallas():
+        best, bidx, second, sidx = pallas_matching.projection_hamming_top2(
+            pt_desc, proj, radius, oct_lo, oct_hi, valid_a,
+            desc, xy, octave, valid_b,
+        )
+        return matching.match_from_top2(
+            best, bidx, second, sidx, max_dist, ratio,
+            octave_b=octave if ratio_octave_rule else None,
+        )
+    dist = matching.hamming_distance_matrix(pt_desc, desc)
+    mask = (
+        valid_a[:, None]
+        & valid_b[None, :]
+        & matching.window_mask(proj, xy, radius)
+        & matching.octave_band_mask(octave, oct_lo, oct_hi)
+    )
+    return matching.best_match_with_ratio(
+        dist, mask, max_dist, ratio,
+        octave_b=octave if ratio_octave_rule else None,
+    )
 
 
 def _scale_sigmas(n_levels: int = 8, scale: float = 1.2) -> jnp.ndarray:
@@ -90,14 +121,10 @@ def match_projection_last_frame(
     in_img = (z > 0) & (u >= 0) & (u < width) & (v >= 0) & (v < height)
 
     radius = th * sigmas[jnp.clip(pt_octave, 0, sigmas.shape[0] - 1)]
-    dist = matching.hamming_distance_matrix(pt_desc, desc)
-    mask = (
-        (pt_valid & in_img)[:, None]
-        & valid[None, :]
-        & matching.window_mask(proj, xy, radius)
-        & matching.octave_band_mask(octave, pt_octave - 1, pt_octave + 1)
+    m = _projection_match(
+        pt_desc, proj, radius, pt_octave - 1, pt_octave + 1,
+        pt_valid & in_img, xy, desc, octave, valid, TH_HIGH,
     )
-    m = matching.best_match_with_ratio(dist, mask, TH_HIGH)
     m = matching.rotation_consistency_filter(m, pt_angle, angle)
     return matching.resolve_duplicate_targets(m, desc.shape[0])
 
@@ -171,14 +198,12 @@ def match_local_map(
     sigmas = _scale_sigmas()
     base_r = jnp.where(info.view_cos > 0.998, 2.5, 4.0)
     radius = base_r * th * sigmas[info.pred_octave]
-    dist = matching.hamming_distance_matrix(pt_desc, desc)
-    mask = (
-        info.visible[:, None]
-        & (valid & ~feat_taken)[None, :]
-        & matching.window_mask(info.proj, xy, radius)
-        & matching.octave_band_mask(octave, info.pred_octave - 1, info.pred_octave)
+    m = _projection_match(
+        pt_desc, info.proj, radius,
+        info.pred_octave - 1, info.pred_octave,
+        info.visible, xy, desc, octave, valid & ~feat_taken,
+        TH_HIGH, ratio, ratio_octave_rule=True,
     )
-    m = matching.best_match_with_ratio(dist, mask, TH_HIGH, ratio, octave_b=octave)
     return matching.resolve_duplicate_targets(m, desc.shape[0])
 
 
@@ -251,12 +276,9 @@ def match_fuse(
     """
     sigmas = _scale_sigmas()
     radius = th * sigmas[info.pred_octave]
-    dist = matching.hamming_distance_matrix(pt_desc, desc)
-    mask = (
-        info.visible[:, None]
-        & valid[None, :]
-        & matching.window_mask(info.proj, xy, radius)
-        & matching.octave_band_mask(octave, info.pred_octave - 1, info.pred_octave + 1)
+    m = _projection_match(
+        pt_desc, info.proj, radius,
+        info.pred_octave - 1, info.pred_octave + 1,
+        info.visible, xy, desc, octave, valid, TH_LOW,
     )
-    m = matching.best_match_with_ratio(dist, mask, TH_LOW)
     return matching.resolve_duplicate_targets(m, desc.shape[0])
