@@ -26,6 +26,16 @@ PATCH_SIZE = 31
 N_BITS = 256
 N_WORDS = 8  # 256 bits packed into 8 x uint32
 
+# BRIEF steering quantization: angles snap to N_ANGLE_BINS bin centers
+# before computing rotated sample offsets (the original ORB paper's 12
+# degree lookup-table discretization, here 11.25 degrees). This makes the
+# rotation a selection over a static per-bin offset table, which the TPU
+# route turns into MXU matmuls; the CPU route uses the same table so
+# descriptors are identical across routes.
+N_ANGLE_BINS = 32
+BRIEF_HALF = 19     # max |rotated offset| = ceil(13 * sqrt(2)) = 19
+BRIEF_PATCH = 39
+
 
 @functools.lru_cache()
 def circular_umax() -> np.ndarray:
@@ -150,6 +160,57 @@ def ic_angle(image: jnp.ndarray, yx: jnp.ndarray) -> jnp.ndarray:
     return jnp.arctan2(m01, m10)
 
 
+def angle_bin(angle: jnp.ndarray) -> jnp.ndarray:
+    """Quantize radians in (-pi, pi] to one of N_ANGLE_BINS bins."""
+    w = 2.0 * np.pi / N_ANGLE_BINS
+    return (
+        jnp.floor((angle + np.pi) / w).astype(jnp.int32) % N_ANGLE_BINS
+    )
+
+
+@functools.lru_cache()
+def binned_offsets() -> np.ndarray:
+    """[N_ANGLE_BINS, 256, 2, 2] int32 steered sample offsets (oy, ox) per
+    bin center, computed once in float64 so every route shares the exact
+    same integer table."""
+    pattern = brief_pattern()                       # [256, 2, 2] (x, y)
+    out = np.zeros((N_ANGLE_BINS, N_BITS, 2, 2), np.int32)
+    for b in range(N_ANGLE_BINS):
+        th = (b + 0.5) * 2.0 * np.pi / N_ANGLE_BINS - np.pi
+        ca, sa = np.cos(th), np.sin(th)
+        px = pattern[..., 0].astype(np.float64)     # [256, 2]
+        py = pattern[..., 1].astype(np.float64)
+        ox = np.round(px * ca - py * sa).astype(np.int32)
+        oy = np.round(px * sa + py * ca).astype(np.int32)
+        out[b, ..., 0] = oy
+        out[b, ..., 1] = ox
+    assert np.abs(out).max() <= BRIEF_HALF
+    return out
+
+
+@functools.lru_cache()
+def _selection_matrices() -> np.ndarray:
+    """[N_ANGLE_BINS, BRIEF_PATCH**2, 512] one-hot bf16: column 2j+k picks
+    patch pixel at the bin's steered offset for pattern point (j, k)."""
+    offs = binned_offsets()
+    psq = BRIEF_PATCH * BRIEF_PATCH
+    S = np.zeros((N_ANGLE_BINS, psq, 2 * N_BITS), np.float32)
+    for b in range(N_ANGLE_BINS):
+        oy = offs[b, ..., 0] + BRIEF_HALF           # [256, 2]
+        ox = offs[b, ..., 1] + BRIEF_HALF
+        cols = np.arange(2 * N_BITS)
+        S[b, (oy * BRIEF_PATCH + ox).reshape(-1), cols] = 1.0
+    return S
+
+
+def _pack_bits(vals: jnp.ndarray) -> jnp.ndarray:
+    """[N, 256, 2] sampled pairs -> [N, 8] uint32 (bit = v0 < v1)."""
+    bits = (vals[..., 0] < vals[..., 1]).astype(jnp.uint32)
+    bits = bits.reshape(-1, N_WORDS, 32)
+    shifts = jnp.arange(32, dtype=jnp.uint32)
+    return jnp.sum(bits << shifts[None, None, :], axis=-1, dtype=jnp.uint32)
+
+
 def brief_descriptors(
     blurred: jnp.ndarray, yx: jnp.ndarray, angle: jnp.ndarray
 ) -> jnp.ndarray:
@@ -157,28 +218,80 @@ def brief_descriptors(
 
     Oracle: computeOrbDescriptor (src/ORBextractor.cc:110-152): each pattern
     point p is steered to (round(px*cos - py*sin), round(px*sin + py*cos))
-    and bit i = I(p0) < I(p1).
+    and bit i = I(p0) < I(p1). Steering uses the binned-angle offset table
+    (see N_ANGLE_BINS) so the gather (CPU) and patch-matmul (TPU) routes
+    produce identical bits.
     """
     h, w = blurred.shape
-    pattern = jnp.asarray(brief_pattern())  # [256, 2, 2] (x, y) pairs
-    px = pattern[..., 0].astype(blurred.dtype)  # [256, 2]
-    py = pattern[..., 1].astype(blurred.dtype)
-
-    ca = jnp.cos(angle)[:, None, None]  # [N, 1, 1]
-    sa = jnp.sin(angle)[:, None, None]
-    # Column/row offsets after steering (reference GET_VALUE).
-    off_x = jnp.round(px[None] * ca - py[None] * sa).astype(jnp.int32)  # [N, 256, 2]
-    off_y = jnp.round(px[None] * sa + py[None] * ca).astype(jnp.int32)
+    offs = jnp.asarray(binned_offsets())            # [B, 256, 2, 2]
+    off = offs[angle_bin(angle)]                    # [N, 256, 2, 2]
+    off_y, off_x = off[..., 0], off[..., 1]
 
     ys = jnp.clip(yx[:, 0, None, None] + off_y, 0, h - 1)
     xs = jnp.clip(yx[:, 1, None, None] + off_x, 0, w - 1)
     flat = (ys * w + xs).reshape(-1)
     vals = jnp.take(blurred.reshape(-1), flat, axis=0).reshape(-1, N_BITS, 2)
+    return _pack_bits(vals)
 
-    bits = (vals[..., 0] < vals[..., 1]).astype(jnp.uint32)  # [N, 256]
-    bits = bits.reshape(-1, N_WORDS, 32)
-    shifts = jnp.arange(32, dtype=jnp.uint32)
-    return jnp.sum(bits << shifts[None, None, :], axis=-1, dtype=jnp.uint32)
+
+@functools.lru_cache()
+def _moment_weights() -> Tuple[np.ndarray, np.ndarray]:
+    """[31, 31] dx- and dy-weight maps of the circular IC patch."""
+    mask = _circular_mask()
+    d = np.arange(-HALF_PATCH_SIZE, HALF_PATCH_SIZE + 1, dtype=np.float32)
+    w10 = mask * d[None, :]   # weight = dx
+    w01 = mask * d[:, None]   # weight = dy
+    return w10, w01
+
+
+def ic_angle_patches(image: jnp.ndarray, yx: jnp.ndarray) -> jnp.ndarray:
+    """TPU route for ic_angle: Pallas patch extraction + two weighted
+    reductions, replacing the dense whole-image moment maps (same math,
+    different summation order -> float-level differences only)."""
+    from orb_slam2_commit_tpu.ops import pallas_patches
+
+    P = pallas_patches.extract_patches(image, yx, PATCH_SIZE)
+    w10, w01 = _moment_weights()
+    wpad = np.zeros((2,) + P.shape[1:], np.float32)
+    wpad[0, :PATCH_SIZE, :PATCH_SIZE] = w10
+    wpad[1, :PATCH_SIZE, :PATCH_SIZE] = w01
+    m = jnp.einsum("npq,wpq->nw", P, jnp.asarray(wpad))
+    return jnp.arctan2(m[:, 1], m[:, 0])
+
+
+def use_patch_route() -> bool:
+    """Pallas patch-kernel route for orientation/BRIEF? Default: on for
+    TPU backends, off on CPU (where the XLA gather is fine and Pallas
+    runs interpreted). Override with ORB_TPU_FORCE_PATCHES=0/1."""
+    import os
+
+    v = os.environ.get("ORB_TPU_FORCE_PATCHES")
+    if v is not None:
+        return v == "1"
+    return jax.default_backend() != "cpu"
+
+
+def brief_descriptors_patches(
+    blurred: jnp.ndarray, yx: jnp.ndarray, angle: jnp.ndarray
+) -> jnp.ndarray:
+    """TPU route: Pallas patch extraction + per-bin one-hot matmuls on the
+    MXU instead of 512 scalar gathers per keypoint. Bit-identical to
+    brief_descriptors for in-bounds keypoints (>= BRIEF_HALF from the
+    image border, which the extractor's detection border guarantees).
+    """
+    from orb_slam2_commit_tpu.ops import pallas_patches
+
+    P = pallas_patches.extract_patches(blurred, yx, BRIEF_PATCH)
+    P = P[:, :BRIEF_PATCH, :BRIEF_PATCH].reshape(P.shape[0], -1)
+    S = jnp.asarray(_selection_matrices(), jnp.bfloat16)  # [B, PSQ, 512]
+    oh = jax.nn.one_hot(angle_bin(angle), N_ANGLE_BINS, dtype=jnp.float32)
+    # One-hot selection matmul: keeping the patch operand in f32 makes the
+    # "sampling" exact (bf16 patches would flip borderline comparisons).
+    vals = jnp.einsum(
+        "np,bps,nb->ns", P, S.astype(jnp.float32), oh,
+        preferred_element_type=jnp.float32,
+    )
+    return _pack_bits(vals.reshape(-1, N_BITS, 2))
 
 
 def unpack_bits(desc: jnp.ndarray) -> jnp.ndarray:

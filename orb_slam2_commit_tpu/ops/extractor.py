@@ -48,12 +48,23 @@ def _extract_level(
     config: ORBConfig,
 ) -> Tuple[jnp.ndarray, ...]:
     """FAST + selection + orientation + descriptors for one pyramid level."""
-    score = fast.two_threshold_scores(
-        image,
-        float(config.ini_th_fast),
-        float(config.min_th_fast),
-        config.cell_size,
-    )
+    if descriptors.use_patch_route():
+        # Fused Pallas level kernel: blur + both FAST score maps in one
+        # HBM pass; per-keypoint stages via the Pallas patch kernel.
+        from orb_slam2_commit_tpu.ops import pallas_level
+
+        blurred, s_hi, s_lo = pallas_level.level_preprocess(
+            image, float(config.ini_th_fast), float(config.min_th_fast)
+        )
+        score = fast.combine_two_threshold(s_hi, s_lo, config.cell_size)
+    else:
+        score = fast.two_threshold_scores(
+            image,
+            float(config.ini_th_fast),
+            float(config.min_th_fast),
+            config.cell_size,
+        )
+        blurred = pyramid.gaussian_blur(image)
     # The reference detects inside a border of EDGE_THRESHOLD-3 = 16 px
     # (src/ORBextractor.cc:822-825); descriptor sampling needs the blur +
     # patch margin anyway.
@@ -61,9 +72,12 @@ def _extract_level(
     yx, response, valid = fast.select_keypoints(
         score, budget, config.cell_size, config.cell_top_k, border
     )
-    angle = descriptors.ic_angle(image, yx)
-    blurred = pyramid.gaussian_blur(image)
-    desc = descriptors.brief_descriptors(blurred, yx, angle)
+    if descriptors.use_patch_route():
+        angle = descriptors.ic_angle_patches(image, yx)
+        desc = descriptors.brief_descriptors_patches(blurred, yx, angle)
+    else:
+        angle = descriptors.ic_angle(image, yx)
+        desc = descriptors.brief_descriptors(blurred, yx, angle)
     return yx, response, angle, desc, valid
 
 

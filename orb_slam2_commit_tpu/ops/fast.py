@@ -33,14 +33,16 @@ ARC_LENGTH = 9  # FAST-9: contiguous arc of >= 9 pixels.
 
 
 def _circle_stack(image: jnp.ndarray) -> jnp.ndarray:
-    """[16, H, W] rolled copies so stack[i, y, x] = image[y + dy_i, x + dx_i].
-
-    Border wrap-around from roll is harmless: callers mask a border of
-    >= 3 px (the extractor masks edge_threshold - 3 = 16 px).
-    """
+    """[16, H, W] shifted copies so stack[i, y, x] = image[y + dy_i, x + dx_i]
+    with BORDER_REFLECT_101 neighborhoods at the image border (keypoints
+    there are masked anyway — the extractor discards a 16 px frame — but
+    reflect keeps the dense score maps bit-identical to the fused Pallas
+    level kernel, ops/pallas_level.py)."""
+    padded = jnp.pad(image, 3, mode="reflect")
+    h, w = image.shape
     return jnp.stack(
         [
-            jnp.roll(image, shift=(-int(dy), -int(dx)), axis=(0, 1))
+            padded[3 + int(dy) : 3 + int(dy) + h, 3 + int(dx) : 3 + int(dx) + w]
             for dy, dx in CIRCLE_OFFSETS
         ],
         axis=0,
@@ -72,8 +74,15 @@ def _score_from_diffs(d: jnp.ndarray, threshold: float):
 
     is_corner = _has_arc(bright_bits) | _has_arc(dark_bits)
 
-    bright_score = jnp.sum(jnp.maximum(d - threshold, 0.0), axis=0)
-    dark_score = jnp.sum(jnp.maximum(-d - threshold, 0.0), axis=0)
+    # Sequential left-fold (not jnp.sum) so the accumulation order — and
+    # therefore every last float bit — matches the fused Pallas level
+    # kernel (ops/pallas_level.py).
+    bright_score = functools.reduce(
+        jnp.add, [jnp.maximum(d[i] - threshold, 0.0) for i in range(16)]
+    )
+    dark_score = functools.reduce(
+        jnp.add, [jnp.maximum(-d[i] - threshold, 0.0) for i in range(16)]
+    )
     score = jnp.maximum(bright_score, dark_score)
     return is_corner, jnp.where(is_corner, score, 0.0)
 
@@ -127,7 +136,17 @@ def two_threshold_scores(
     d = _circle_stack(image) - image[None]
     _, score_hi = _score_from_diffs(d, ini_threshold)
     _, score_lo = _score_from_diffs(d, min_threshold)
+    return combine_two_threshold(score_hi, score_lo, cell_size)
 
+
+def combine_two_threshold(
+    score_hi: jnp.ndarray,
+    score_lo: jnp.ndarray,
+    cell_size: int,
+) -> jnp.ndarray:
+    """Per-cell high->low threshold fallback + 3x3 NMS on precomputed
+    score maps (the dense maps may come from ops/pallas_level.py)."""
+    image = score_hi  # shape source only
     h, w = image.shape
     pad_h = (-h) % cell_size
     pad_w = (-w) % cell_size
