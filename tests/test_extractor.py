@@ -244,3 +244,21 @@ class TestExtractor:
         d = np.linalg.norm(shifted[:, None] - xy2[None], axis=-1).min(axis=1)
         frac = (d < 1.0).mean()
         assert frac > 0.6, frac
+
+
+class TestResize:
+    def test_matmul_resize_matches_jax_image(self):
+        """resize_bilinear is jax.image.resize('linear') re-expressed as
+        two MXU matmuls; the operators must agree."""
+        import jax
+
+        rng = np.random.default_rng(7)
+        for (hi, wi), (ho, wo) in [
+            ((480, 640), (400, 533)),
+            ((100, 77), (83, 64)),
+            ((48, 64), (40, 53)),
+        ]:
+            img = jnp.asarray(rng.uniform(0, 255, (hi, wi)).astype(np.float32))
+            ours = np.asarray(pyramid.resize_bilinear(img, (ho, wo)))
+            ref = np.asarray(jax.image.resize(img, (ho, wo), method="linear"))
+            np.testing.assert_allclose(ours, ref, atol=2e-2)

@@ -47,14 +47,24 @@ def test_brief_patch_route_exact():
     rng = np.random.default_rng(1)
     img = rng.uniform(0, 255, size=(128, 160)).astype(np.float32)
     blurred = pyramid.gaussian_blur(jnp.asarray(img))
-    n = 16
+    n = 64
     yx = jnp.asarray(
         np.stack(
             [rng.integers(20, 108, n), rng.integers(20, 140, n)], -1
         ),
         jnp.int32,
     )
-    angle = jnp.asarray(rng.uniform(-np.pi, np.pi, n), jnp.float32)
+    # Cover every steering bin (exercises all four quadrant pre-rotations
+    # of the decomposed route) plus random angles.
+    angle = jnp.asarray(
+        np.concatenate(
+            [
+                (np.arange(32) + 0.5) * 2 * np.pi / 32 - np.pi,
+                rng.uniform(-np.pi, np.pi, 32),
+            ]
+        ),
+        jnp.float32,
+    )
     d_gather = descriptors.brief_descriptors(blurred, yx, angle)
     d_patch = descriptors.brief_descriptors_patches(blurred, yx, angle)
     np.testing.assert_array_equal(np.asarray(d_gather), np.asarray(d_patch))
