@@ -31,23 +31,56 @@ def main():
 
     from orb_slam2_commit_tpu.slam.jit_frontend import tracking_forward_step
 
-    fn = jax.jit(
-        lambda *a: tracking_forward_step(*a, config)
-    )
+    def step(im, fb, pp, pd, po, pa, pv, R, t):
+        # The previous-previous frame's inlier count perturbs the pose
+        # prediction INSIDE the graph, so the timing loop below is
+        # data-dependent and cannot be elided or reordered by the runtime.
+        return tracking_forward_step(im, pp, pd, po, pa, pv, R, t + 0.0 * fb, config)
 
-    # Warm up / compile.
-    out = fn(*args)
+    fn = jax.jit(step)
+
+    # Timed runs. Methodology (the remote TPU runtime rewards sloppy
+    # loops, so this is deliberately strict):
+    #  * every iteration gets a DIFFERENT image buffer — a tracker never
+    #    sees the same frame twice, and repeated identical input buffers
+    #    measure fast-path dispatch, not work;
+    #  * frame i consumes frame i-2's result (depth-2 software pipeline:
+    #    extraction of frame i is legitimately independent of frame i-1's
+    #    pose — the reference overlaps the same stages across threads —
+    #    but everything further back must be complete);
+    #  * the chain ends in a VALUE fetch, not just block_until_ready.
+    image, pt_pos, pt_desc, pt_octave, pt_angle, pt_valid, R_pred, t_pred = args
+    rest = (pt_pos, pt_desc, pt_octave, pt_angle, pt_valid, R_pred, t_pred)
+    n_images = 8
+    rng = np.random.default_rng(0)
+    images = [
+        jnp.asarray(np.asarray(image) + rng.normal(0, 0.5, image.shape).astype(np.float32))
+        for _ in range(n_images)
+    ]
+    fb0 = jnp.zeros(())
+    out = fn(images[0], fb0, *rest)   # warm up / compile
     jax.block_until_ready(out)
     n_in = int(out.n_inliers)
+    # Warm the whole loop (every image buffer + the dispatch path) before
+    # timing — the first pass through the remote runtime pays one-time
+    # setup costs that are not steady-state throughput.
+    w1, w2 = fb0, fb0
+    for i in range(2 * n_images):
+        out = fn(images[i % n_images], w2, *rest)
+        w2, w1 = w1, out.n_inliers.astype(jnp.float32)
+    _ = float(w1) + float(w2)
 
-    # Timed runs.
-    n_iters = 50
+    n_iters = 64
+    fb1, fb2 = fb0, fb0
     start = time.perf_counter()
-    for _ in range(n_iters):
-        out = fn(*args)
-    jax.block_until_ready(out)
+    for i in range(n_iters):
+        out = fn(images[i % n_images], fb2, *rest)
+        fb2 = fb1
+        fb1 = out.n_inliers.astype(jnp.float32)
+    final = float(fb1) + float(fb2)   # forces the whole chain
     elapsed = time.perf_counter() - start
     fps = n_iters / elapsed
+    assert final >= 0.0
 
     baseline_fps = 30.0  # reference "real-time" claim (README.md:80)
     print(
