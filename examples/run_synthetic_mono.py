@@ -60,6 +60,7 @@ def main():
               f"(trajectory span {np.linalg.norm(gt[-1]-gt[0]):.2f} m)")
     sys_.save_trajectory_tum("/tmp/synthetic_traj.txt")
     print("saved /tmp/synthetic_traj.txt")
+    print(sys_.profiler.report())
 
 
 if __name__ == "__main__":

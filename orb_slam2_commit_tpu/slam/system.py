@@ -51,6 +51,11 @@ class System:
         self.map = MapState.create(config.map, n_feat)
         self.tracker = Tracker(config, self.map)
         self.mapper = LocalMapper(config, self.map)
+        # Always-on per-stage timing (SURVEY.md S5: the reference only has
+        # driver wall-clock prints; see utils/profiling.py).
+        from orb_slam2_commit_tpu.utils.profiling import Profiler
+
+        self.profiler = Profiler()
         self.vocabulary = None
         self.kf_database = None
         self.loop_closer = None
@@ -127,11 +132,13 @@ class System:
             in (TrackingState.NO_IMAGES_YET, TrackingState.NOT_INITIALIZED)
         )
         cfg = self.init_config if use_init else self.config
-        frame = make_frame(
-            image, self.frame_count, timestamp, cfg, depth_image
-        )
+        with self.profiler.timed("extract_frame"):
+            frame = make_frame(
+                image, self.frame_count, timestamp, cfg, depth_image
+            )
         self.frame_count += 1
-        return self._track_frame(frame)
+        with self.profiler.timed("track"):
+            return self._track_frame(frame)
 
     def _track_frame(self, frame: Frame):
         was_initialized = self.tracker.state in (
@@ -157,13 +164,17 @@ class System:
         if pose is not None and self.tracker.need_new_keyframe(frame):
             if self.mapping_worker is not None:
                 with self.map_lock:
-                    kf = self._insert_keyframe(frame)
+                    with self.profiler.timed("keyframe_insert"):
+                        kf = self._insert_keyframe(frame)
                 self.mapping_worker.insert_keyframe(kf)
             else:
-                kf = self._insert_keyframe(frame)
-                self.mapper.process_keyframe(kf)
+                with self.profiler.timed("keyframe_insert"):
+                    kf = self._insert_keyframe(frame)
+                with self.profiler.timed("local_mapping"):
+                    self.mapper.process_keyframe(kf)
                 if self.loop_closer is not None:
-                    self.loop_closer.process_keyframe(kf)
+                    with self.profiler.timed("loop_closing"):
+                        self.loop_closer.process_keyframe(kf)
             self.tracker.ref_kf = kf
             self.tracker.last_kf_frame_id = frame.frame_id
         return pose
@@ -260,6 +271,11 @@ class System:
             self.mapping_worker.wait_idle()
             self.mapping_worker.join()
         self._shutdown = True
+
+    def timings(self):
+        """Per-stage timing summary (see utils/profiling.Profiler):
+        {stage: {count, mean_ms, ema_ms, min_ms, max_ms, total_s}}."""
+        return self.profiler.summary()
 
     def map_changed(self) -> int:
         return self.map.big_change_idx

@@ -34,6 +34,7 @@ def make_scene(
     depth_range: Tuple[float, float] = (4.0, 12.0),
     spread: float = 6.0,
     patch_size: int = 15,
+    planar_frac: float = 0.0,
 ) -> Scene:
     """Random landmark cloud in front of the origin (+z forward).
 
@@ -46,6 +47,16 @@ def make_scene(
     x = rng.uniform(-spread, spread, size=n_points)
     y = rng.uniform(-spread * 0.75, spread * 0.75, size=n_points)
     points = np.stack([x, y, z], axis=-1)
+    if planar_frac > 0.0:
+        # Put the first fraction of landmarks on a tilted "ground" plane
+        # (for plane-anchored AR demos, slam/ar.py).
+        k = int(n_points * planar_frac)
+        nrm = np.array([0.1, 1.0, -0.15])
+        nrm /= np.linalg.norm(nrm)
+        anchor = np.array([0.0, spread * 0.5, np.mean(depth_range)])
+        d = -nrm @ anchor
+        pts = points[:k]
+        points[:k] = pts - ((pts @ nrm + d)[:, None]) * nrm[None, :]
 
     # Patch design for stable SLAM features:
     # - one dominant bright disc at the center -> a single strong FAST
@@ -176,11 +187,12 @@ def render_sequence(
     seed: int = 0,
     step: float = 0.06,
     with_depth: bool = False,
+    planar_frac: float = 0.0,
 ):
     """Images [T, H, W] + ground-truth poses + scene
     (+ depth maps [T, H, W] when with_depth)."""
     rng = np.random.default_rng(seed)
-    scene = make_scene(rng, n_points=n_points)
+    scene = make_scene(rng, n_points=n_points, planar_frac=planar_frac)
     poses = look_ahead_trajectory(n_frames, step=step)
     if with_depth:
         rendered = [render(scene, R, t, cam, with_depth=True) for R, t in poses]
