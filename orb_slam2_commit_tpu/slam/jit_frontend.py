@@ -100,3 +100,124 @@ def tracking_forward_step_jit(
         image, pt_pos, pt_desc, pt_octave, pt_angle, pt_valid,
         R_pred, t_pred, config
     )
+
+
+class FusedMotionResult(NamedTuple):
+    """Everything the host Tracker needs from one fused per-frame dispatch."""
+
+    R: jnp.ndarray          # [3, 3] optimized Tcw rotation
+    t: jnp.ndarray          # [3]
+    n_matches: jnp.ndarray  # scalar int32 (at the accepted search radius)
+    n_inliers: jnp.ndarray
+    binding: jnp.ndarray    # [N] int32 — row into the PASSED point arrays, -1 none
+    inliers: jnp.ndarray    # [N] bool (pose-opt chi2 classification)
+    # Extraction outputs (the host builds its Frame from these):
+    xy_und: jnp.ndarray     # [N, 2] undistorted
+    xy_raw: jnp.ndarray     # [N, 2]
+    response: jnp.ndarray
+    angle: jnp.ndarray
+    octave: jnp.ndarray
+    desc: jnp.ndarray
+    valid: jnp.ndarray
+
+
+def fused_motion_track(
+    image: jnp.ndarray,
+    pt_pos: jnp.ndarray,        # [M, 3] last frame's bound points (world)
+    pt_desc: jnp.ndarray,       # [M, 8]
+    pt_octave: jnp.ndarray,     # [M]
+    pt_angle: jnp.ndarray,      # [M]
+    pt_valid: jnp.ndarray,      # [M]
+    R_pred: jnp.ndarray,
+    t_pred: jnp.ndarray,
+    config: SLAMConfig,
+) -> FusedMotionResult:
+    """The WHOLE motion-model tracking stage as one graph: extraction,
+    undistortion, projective matching with the reference's widen-on-failure
+    retry (src/Tracking.cc:1090-1092: fewer than 20 matches -> search again
+    at twice the radius), match inversion and pose-only BA.
+
+    The host pipeline's staged path (slam/tracking.py
+    _track_with_motion_model) runs the same jitted pieces one dispatch at
+    a time with host round-trips between them; on a remote TPU those
+    round-trips dominate the frame budget, so System routes monocular
+    OK-state frames through this instead (same math, same thresholds).
+    """
+    from orb_slam2_commit_tpu.ops import camera as cam_ops
+
+    cam = config.camera
+    feats = ext.extract_features(image, config.orb, cam.height, cam.width)
+    xy_und = cam_ops.undistort_pixels(feats.xy, cam)
+
+    th0 = float(config.tracker.search_radius_motion)
+
+    def run_match(th):
+        m = matchers.match_projection_last_frame.__wrapped__(
+            pt_pos, pt_desc, pt_octave, pt_angle, pt_valid,
+            R_pred, t_pred,
+            xy_und, feats.desc, feats.angle, feats.octave, feats.valid,
+            cam.fx, cam.fy, cam.cx, cam.cy,
+            float(cam.width), float(cam.height),
+            th=th,
+        )
+        return m.idx
+
+    idx1 = run_match(th0)
+    n1 = jnp.sum(idx1 >= 0)
+    idx = jax.lax.cond(n1 >= 20, lambda: idx1, lambda: run_match(2.0 * th0))
+    n_matches = jnp.sum(idx >= 0)
+
+    # Invert point->feature matches into per-feature bindings.
+    n_feat = feats.xy.shape[0]
+    safe_idx = jnp.maximum(idx, 0)
+    binding = jnp.full((n_feat,), -1, jnp.int32)
+    binding = binding.at[safe_idx].set(
+        jnp.where(
+            idx >= 0,
+            jnp.arange(idx.shape[0], dtype=jnp.int32),
+            -1,
+        )
+    )
+    bound = binding >= 0
+    pts_per_feat = pt_pos[jnp.maximum(binding, 0)]
+
+    sigma2 = jnp.asarray(config.orb.level_sigma2())
+    inv_sigma2 = 1.0 / sigma2[jnp.clip(feats.octave, 0, config.orb.n_levels - 1)]
+    obs = BAObservations(
+        cam_idx=jnp.zeros(n_feat, jnp.int32),
+        pt_idx=jnp.arange(n_feat, dtype=jnp.int32),
+        uvr=jnp.concatenate([xy_und, jnp.zeros((n_feat, 1))], axis=1),
+        inv_sigma2=inv_sigma2,
+        is_stereo=jnp.zeros(n_feat, bool),
+        valid=bound & feats.valid,
+    )
+    res = pose_opt.pose_optimization(
+        R_pred, t_pred, pts_per_feat, obs,
+        cam.fx, cam.fy, cam.cx, cam.cy, cam.bf,
+    )
+    return FusedMotionResult(
+        R=res.R,
+        t=res.t,
+        n_matches=n_matches,
+        n_inliers=res.n_inliers,
+        binding=binding,
+        inliers=res.inliers,
+        xy_und=xy_und,
+        xy_raw=feats.xy,
+        response=feats.response,
+        angle=feats.angle,
+        octave=feats.octave,
+        desc=feats.desc,
+        valid=feats.valid,
+    )
+
+
+@functools.partial(jax.jit, static_argnames=("config",))
+def fused_motion_track_jit(
+    image, pt_pos, pt_desc, pt_octave, pt_angle, pt_valid, R_pred, t_pred,
+    config: SLAMConfig,
+):
+    return fused_motion_track(
+        image, pt_pos, pt_desc, pt_octave, pt_angle, pt_valid,
+        R_pred, t_pred, config
+    )

@@ -132,6 +132,17 @@ class System:
             in (TrackingState.NO_IMAGES_YET, TrackingState.NOT_INITIALIZED)
         )
         cfg = self.init_config if use_init else self.config
+        if self._use_fused_track() and self.tracker.can_fuse_motion():
+            # One device dispatch for extract + match + pose BA
+            # (slam/jit_frontend.fused_motion_track); the Frame is built
+            # from its outputs and the staged motion stage is skipped.
+            with self.profiler.timed("fused_frontend"):
+                frame, motion_ok = self.tracker.fused_motion_frame(
+                    image, self.frame_count, timestamp
+                )
+            self.frame_count += 1
+            with self.profiler.timed("track"):
+                return self._track_frame(frame, motion_ok=motion_ok)
         with self.profiler.timed("extract_frame"):
             frame = make_frame(
                 image, self.frame_count, timestamp, cfg, depth_image
@@ -140,15 +151,28 @@ class System:
         with self.profiler.timed("track"):
             return self._track_frame(frame)
 
-    def _track_frame(self, frame: Frame):
+    @staticmethod
+    def _use_fused_track() -> bool:
+        """Fused single-dispatch tracking on accelerators (override with
+        ORB_TPU_FUSED_TRACK=0/1). On CPU the staged path is the oracle."""
+        import os
+
+        v = os.environ.get("ORB_TPU_FUSED_TRACK")
+        if v is not None:
+            return v == "1"
+        import jax
+
+        return jax.default_backend() != "cpu"
+
+    def _track_frame(self, frame: Frame, motion_ok=None):
         was_initialized = self.tracker.state in (
             TrackingState.OK, TrackingState.LOST
         )
         if self.map_lock is not None:
             with self.map_lock:
-                pose = self.tracker.track(frame)
+                pose = self.tracker.track(frame, motion_ok=motion_ok)
         else:
-            pose = self.tracker.track(frame)
+            pose = self.tracker.track(frame, motion_ok=motion_ok)
 
         if not was_initialized and self.tracker.state == TrackingState.OK:
             # Map was just created: register the initial keyframes with the

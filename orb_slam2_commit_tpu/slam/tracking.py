@@ -245,6 +245,70 @@ class Tracker:
     # Frame-to-frame tracking
     # ------------------------------------------------------------------
 
+    def can_fuse_motion(self) -> bool:
+        """Is the next frame eligible for the single-dispatch fused
+        motion-tracking path (slam/jit_frontend.fused_motion_track)?"""
+        return (
+            self.state == TrackingState.OK
+            and self.velocity is not None
+            and self.last_frame is not None
+            and self.config.sensor == "monocular"
+            and int((self.last_frame.point_ids >= 0).sum()) >= 10
+        )
+
+    def fused_motion_frame(
+        self, image, frame_id: int, timestamp: float
+    ) -> Tuple[Frame, bool]:
+        """Run extraction + motion-model matching + pose BA as ONE device
+        dispatch and build the host Frame from its outputs. Returns
+        (frame, motion_ok); pass motion_ok into track() so the staged
+        motion stage is skipped. Must only be called when
+        can_fuse_motion()."""
+        from orb_slam2_commit_tpu.slam import jit_frontend
+
+        last = self.last_frame
+        Rv, tv = self.velocity
+        R_pred = Rv @ last.R
+        t_pred = Rv @ last.t + tv
+        bound = last.point_ids >= 0
+        pt_ids = np.maximum(last.point_ids, 0)
+        pt_pos = self.map.pt_pos[pt_ids]
+        pt_ok = bound & self.map.pt_valid[pt_ids]
+
+        res = jit_frontend.fused_motion_track_jit(
+            jnp.asarray(image, jnp.float32),
+            jnp.asarray(pt_pos), jnp.asarray(last.desc),
+            jnp.asarray(last.octave), jnp.asarray(last.angle),
+            jnp.asarray(pt_ok),
+            jnp.asarray(R_pred), jnp.asarray(t_pred),
+            self.config,
+        )
+        n = res.xy_und.shape[0]
+        frame = Frame(
+            frame_id=frame_id,
+            timestamp=timestamp,
+            xy=np.asarray(res.xy_und, np.float64),
+            xy_raw=np.asarray(res.xy_raw, np.float64),
+            octave=np.asarray(res.octave),
+            angle=np.asarray(res.angle),
+            response=np.asarray(res.response),
+            desc=np.asarray(res.desc),
+            valid=np.asarray(res.valid),
+            depth=np.full(n, -1.0, np.float32),
+            ur=np.full(n, -1.0, np.float32),
+        )
+        n_matches = int(res.n_matches)
+        n_in = int(res.n_inliers)
+        if n_matches < 20:
+            return frame, False
+        binding = np.asarray(res.binding)
+        frame.point_ids = np.where(
+            binding >= 0, last.point_ids[np.maximum(binding, 0)], INVALID
+        ).astype(np.int32)
+        frame.set_pose(np.asarray(res.R, np.float64), np.asarray(res.t, np.float64))
+        self.n_inliers = n_in
+        return frame, n_in >= self.config.tracker.min_inliers_track
+
     def _track_with_motion_model(self, frame: Frame) -> bool:
         """Oracle: Tracking::TrackWithMotionModel (src/Tracking.cc:1049-1135)."""
         if self.velocity is None or self.last_frame is None:
@@ -527,9 +591,14 @@ class Tracker:
     # Main entry
     # ------------------------------------------------------------------
 
-    def track(self, frame: Frame) -> Optional[Tuple[np.ndarray, np.ndarray]]:
+    def track(
+        self, frame: Frame, motion_ok: Optional[bool] = None
+    ) -> Optional[Tuple[np.ndarray, np.ndarray]]:
         """Process one frame; returns (R, t) = Tcw or None while lost.
-        Oracle: Tracking::Track (src/Tracking.cc:275-587)."""
+        Oracle: Tracking::Track (src/Tracking.cc:275-587).
+
+        motion_ok: outcome of an already-run fused motion stage
+        (fused_motion_frame); None runs the staged motion stage here."""
         if self.state == TrackingState.NO_IMAGES_YET:
             self.state = TrackingState.NOT_INITIALIZED
 
@@ -546,7 +615,10 @@ class Tracker:
 
         ok = False
         if self.state == TrackingState.OK:
-            ok = self._track_with_motion_model(frame)
+            if motion_ok is not None:
+                ok = motion_ok
+            else:
+                ok = self._track_with_motion_model(frame)
             if not ok:
                 ok = self._track_reference_keyframe(frame)
         else:  # LOST
