@@ -36,6 +36,18 @@ MIN_SIM3_MATCHES = 20             # reference :320,:433
 MIN_TOTAL_MATCHES = 40            # reference :517
 
 
+def use_distributed_gba() -> bool:
+    """Shard global BA across the device mesh when more than one device is
+    visible (override with ORB_DISTRIBUTED_GBA=0/1). Single chip keeps the
+    plain jitted solve — shard_map over a 1-device mesh is pure overhead."""
+    import os
+
+    v = os.environ.get("ORB_DISTRIBUTED_GBA")
+    if v is not None:
+        return v == "1"
+    return jax.device_count() > 1
+
+
 @dataclasses.dataclass
 class ConsistentGroup:
     keyframes: Set[int]
@@ -464,8 +476,26 @@ class LoopCloser:
             m, free_kfs=np.asarray(free), fixed_kfs=np.asarray([anchor_kf]),
             point_ids=pts, orb_cfg=self.config.orb,
         )
-        out, result = ba.bundle_adjust_jit(
-            assembled.problem, cam.fx, cam.fy, cam.cx, cam.cy, cam.bf,
-            n_iters=n_iters, point_chunk=1024,
-        )
+        if use_distributed_gba():
+            # Pod-scale path (SURVEY.md S2.4 P4): observations sharded
+            # across the device mesh, Hessian blocks psum-reduced over ICI
+            # (parallel/distributed_ba.py; bit-equivalence to the
+            # single-device solve is covered by tests/test_distributed_ba).
+            from orb_slam2_commit_tpu.parallel import distributed_ba as dba
+
+            mesh = dba.make_mesh()
+            prob = assembled.problem._replace(
+                obs=dba.shard_observations(
+                    assembled.problem.obs, int(mesh.devices.size)
+                )
+            )
+            out, result = dba.distributed_bundle_adjust(
+                prob, mesh, cam.fx, cam.fy, cam.cx, cam.cy, cam.bf,
+                n_iters=n_iters,
+            )
+        else:
+            out, result = ba.bundle_adjust_jit(
+                assembled.problem, cam.fx, cam.fy, cam.cx, cam.cy, cam.bf,
+                n_iters=n_iters, point_chunk=1024,
+            )
         write_back_ba(self.map, assembled, out, result, erase_outliers=False)
