@@ -70,8 +70,15 @@ def _lm_rounds(
         cost = _robust_cost(chi2, delta2, active & (z > 0), use_robust)
         return e, w, J, cost
 
-    def body(_, state):
-        R, t, lam, cost, e, w, J = state
+    def cond(state):
+        i, _R, _t, lam, _cost, _e, _w, _J, converged = state
+        # Early termination, like g2o's LM (stop on negligible update or a
+        # fully-stalled damping ladder) — iterations after convergence are
+        # numerical no-ops, so skipping them changes nothing but time.
+        return (i < n_iters) & ~converged & (lam < 1e8)
+
+    def body(state):
+        i, R, t, lam, cost, e, w, J = state[:-1]
         # H = sum J^T diag(w) J; b = sum J^T diag(w) e.
         Jw = J * w[..., None]                       # [O, 3, 6]
         H = jnp.einsum("ora,orb->ab", Jw, J)
@@ -83,6 +90,7 @@ def _lm_rounds(
         t_new = dR @ t + dt
         e_new, w_new, J_new, new_cost = full_eval(R_new, t_new)
         accept = new_cost < cost
+        converged = accept & (jnp.sum(delta * delta) < 1e-16)
         R = jnp.where(accept, R_new, R)
         t = jnp.where(accept, t_new, t)
         lam = jnp.where(accept, lam * 0.5, lam * 4.0)
@@ -90,13 +98,14 @@ def _lm_rounds(
         e = jnp.where(accept, e_new, e)
         w = jnp.where(accept, w_new, w)
         J = jnp.where(accept, J_new, J)
-        return R, t, lam, cost, e, w, J
+        return i + 1, R, t, lam, cost, e, w, J, converged
 
     lam0 = jnp.asarray(1e-3, R0.dtype)
     e0, w0, J0, cost0 = full_eval(R0, t0)
-    R, t, _, _, _, _, _ = jax.lax.fori_loop(
-        0, n_iters, body, (R0, t0, lam0, cost0, e0, w0, J0)
-    )
+    state = (jnp.int32(0), R0, t0, lam0, cost0, e0, w0, J0,
+             jnp.asarray(False))
+    state = jax.lax.while_loop(cond, body, state)
+    R, t = state[1], state[2]
     return R, t
 
 
