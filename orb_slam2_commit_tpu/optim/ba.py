@@ -256,25 +256,40 @@ def bundle_adjust(
             c = jax.lax.psum(c, axis_name)
         return c
 
-    def body(_, state):
-        p, lam, cost = state
+    def cond(state):
+        i, _p, lam, _cost, converged = state
+        # g2o-style early termination (see optim/pose_opt.py): identical
+        # results, fewer device iterations. The predicate is replicated
+        # across mesh shards (cost/steps are psum'd), so every device
+        # exits the while_loop on the same iteration.
+        return (i < n_iters) & ~converged & (lam < 1e8)
+
+    def body(state):
+        i, p, lam, cost, _conv = state
         delta_c, delta_p = _solve_step(
             p, cam_params, use_robust, active, lam, point_chunk, axis_name
         )
         p_new = _apply_step(p, delta_c, delta_p)
         new_cost = cost_of(p_new)
         accept = new_cost < cost
+        step_sq = jnp.sum(delta_c * delta_c) + jnp.sum(delta_p * delta_p)
+        if axis_name is not None:
+            # delta_c is replicated, delta_p chunk is replicated too (the
+            # solve already psum'd); no further reduction needed, but keep
+            # the guard explicit for future sharded variants.
+            pass
+        converged = accept & (step_sq < 1e-16)
         p_out = jax.tree.map(
             lambda a, b: jnp.where(accept, b, a), p, p_new
         )
         lam = jnp.where(accept, lam * 0.5, lam * 4.0)
         cost = jnp.where(accept, new_cost, cost)
-        return p_out, lam, cost
+        return i + 1, p_out, lam, cost, converged
 
     lam = jnp.asarray(lam0, problem.points.dtype)
     cost = cost_of(problem)
-    problem, lam, cost = jax.lax.fori_loop(
-        0, n_iters, body, (problem, lam, cost)
+    _, problem, lam, cost, _ = jax.lax.while_loop(
+        cond, body, (jnp.int32(0), problem, lam, cost, jnp.asarray(False))
     )
 
     _, _, chi2, _, _, z = _evaluate(problem, cam_params, use_robust, active)
