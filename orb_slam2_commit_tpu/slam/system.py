@@ -62,7 +62,6 @@ class System:
         if vocabulary is not None:
             from orb_slam2_commit_tpu.models.kf_database import KeyFrameDatabase
             from orb_slam2_commit_tpu.models.vocabulary import BinaryVocabulary
-            from orb_slam2_commit_tpu.slam.loop_closing import LoopCloser
 
             if isinstance(vocabulary, str):
                 vocabulary = BinaryVocabulary.load_text(vocabulary)
@@ -72,13 +71,7 @@ class System:
             )
             self.tracker.kf_database = self.kf_database
             self.map.remove_kf_hooks = [self.kf_database.erase]
-            # Scale the essential-graph edge threshold with the feature
-            # budget (reference constant 100 assumes 1000-2000 features).
-            emw = max(20, config.orb.n_features // 10)
-            self.loop_closer = LoopCloser(
-                config, self.map, self.kf_database,
-                essential_min_weight=min(100, emw),
-            )
+            self.loop_closer = self._build_loop_closer()
         self.frame_count = 0
         self._shutdown = False
         self.mapping_worker = None
@@ -97,6 +90,17 @@ class System:
     @staticmethod
     def _n_features(config: SLAMConfig) -> int:
         return sum(config.orb.features_per_level())
+
+    def _build_loop_closer(self):
+        from orb_slam2_commit_tpu.slam.loop_closing import LoopCloser
+
+        # Scale the essential-graph edge threshold with the feature
+        # budget (reference constant 100 assumes 1000-2000 features).
+        emw = max(20, self.config.orb.n_features // 10)
+        return LoopCloser(
+            self.config, self.map, self.kf_database,
+            essential_min_weight=min(100, emw),
+        )
 
     # ------------------------------------------------------------------
     # Per-frame entries (reference: System::TrackMonocular :225-282,
@@ -173,6 +177,13 @@ class System:
                 pose = self.tracker.track(frame, motion_ok=motion_ok)
         else:
             pose = self.tracker.track(frame, motion_ok=motion_ok)
+
+        if self.tracker.request_reset:
+            # Lost right after initialization: restart from scratch
+            # (reference: src/Tracking.cc:540-552 "Reset if the camera gets
+            # lost soon after initialization").
+            self.reset()
+            return None
 
         if not was_initialized and self.tracker.state == TrackingState.OK:
             # Map was just created: register the initial keyframes with the
@@ -254,10 +265,40 @@ class System:
         self.tracker.localization_only = False
 
     def reset(self) -> None:
-        """Oracle: Tracking::Reset (src/Tracking.cc:1886-1932)."""
-        self.map = MapState.create(self.config.map, self._n_features(self.config))
-        self.tracker = Tracker(self.config, self.map)
-        self.mapper = LocalMapper(self.config, self.map)
+        """Oracle: Tracking::Reset (src/Tracking.cc:1886-1932): drain the
+        mapping worker, clear the map + keyframe database + loop-closing
+        state, and restart tracking from scratch. Every pipeline stage is
+        rebuilt against the fresh map (the reference clears the shared
+        pointer graph in place under the same stop protocol)."""
+        if self.mapping_worker is not None:
+            self.mapping_worker.wait_idle()
+        lock = self.map_lock
+        if lock is not None:
+            lock.acquire()
+        try:
+            n_feat = max(
+                self._n_features(self.config),
+                self._n_features(self.init_config),
+            )
+            localization_only = self.tracker.localization_only
+            self.map = MapState.create(self.config.map, n_feat)
+            self.tracker = Tracker(self.config, self.map)
+            self.tracker.localization_only = localization_only
+            self.mapper = LocalMapper(self.config, self.map)
+            if self.kf_database is not None:
+                self.kf_database.bow[:] = 0
+                self.kf_database.present[:] = False
+                self.tracker.kf_database = self.kf_database
+                self.map.remove_kf_hooks = [self.kf_database.erase]
+                self.loop_closer = self._build_loop_closer()
+            if self.map_lock is not None:
+                self.mapper.map_lock = self.map_lock
+            if self.mapping_worker is not None:
+                self.mapping_worker.mapper = self.mapper
+                self.mapping_worker.loop_closer = self.loop_closer
+        finally:
+            if lock is not None:
+                lock.release()
 
     def save_map(self, path: str) -> None:
         """Persist the full map (the reference's missing SaveMap,

@@ -67,6 +67,10 @@ class Tracker:
         self.n_inliers: int = 0
         self._rng_key = jax.random.key(0)
         self.localization_only = False
+        # Set when tracking is lost soon after initialization and the map
+        # is too small to relocalize against — the System responds with a
+        # full reset (reference: src/Tracking.cc:540-552).
+        self.request_reset = False
         # Optional place-recognition database (set by the System when the
         # vocabulary stack is enabled).
         self.kf_database = None
@@ -436,6 +440,20 @@ class Tracker:
             R, t, inl, n_in = self._optimize_pose(
                 frame, np.asarray(res.R), np.asarray(res.t)
             )
+            if 8 <= n_in < 20:
+                # Projective widening (reference: src/Tracking.cc:1789-1860):
+                # when the BoW matches alone give a coarse pose but too few
+                # inliers, project the candidate KF's remaining map points
+                # through it with a wide radius and re-optimize.
+                frame.set_pose(R, t)
+                kf_pts = np.unique(self.map.kf_point_idx[k])
+                kf_pts = kf_pts[kf_pts >= 0]
+                kf_pts = kf_pts[self.map.pt_valid[kf_pts]]
+                bound_now = frame.point_ids[frame.point_ids >= 0]
+                if bound_now.size:
+                    kf_pts = kf_pts[~np.isin(kf_pts, bound_now)]
+                self._project_and_bind(frame, kf_pts, th=10.0)
+                R, t, inl, n_in = self._optimize_pose(frame, R, t)
             if n_in >= 20:
                 frame.set_pose(R, t)
                 self.n_inliers = n_in
@@ -479,6 +497,50 @@ class Tracker:
             self.ref_kf = int(k1[0])
         return np.asarray(local, int)
 
+    def _project_and_bind(
+        self, frame: Frame, cand: np.ndarray, th: float
+    ) -> np.ndarray:
+        """Frustum-check + projection-match candidate map points into the
+        frame's unbound features and bind the matches (reference:
+        SearchLocalPoints / SearchByProjection, src/Tracking.cc:1403-1468,
+        src/ORBmatcher.cc:46-142). Returns the visibility mask over cand."""
+        cam = self.config.camera
+        M = self.config.tracker.max_local_points
+        cand = cand[:M]
+        m_c = cand.size
+        pos = np.zeros((M, 3))
+        normal = np.zeros((M, 3))
+        dmin = np.zeros(M)
+        dmax = np.zeros(M)
+        desc = np.zeros((M, 8), np.uint32)
+        pvalid = np.zeros(M, bool)
+        pos[:m_c] = self.map.pt_pos[cand]
+        normal[:m_c] = self.map.pt_normal[cand]
+        dmin[:m_c] = self.map.pt_min_dist[cand]
+        dmax[:m_c] = self.map.pt_max_dist[cand]
+        desc[:m_c] = self.map.pt_desc[cand]
+        pvalid[:m_c] = True
+
+        info = matchers.frustum_check(
+            jnp.asarray(pos), jnp.asarray(normal), jnp.asarray(dmin),
+            jnp.asarray(dmax), jnp.asarray(pvalid),
+            jnp.asarray(frame.R), jnp.asarray(frame.t),
+            cam.fx, cam.fy, cam.cx, cam.cy,
+            float(cam.width), float(cam.height),
+        )
+        feat_taken = frame.point_ids >= 0
+        m = matchers.match_local_map(
+            info, jnp.asarray(desc),
+            jnp.asarray(frame.xy), jnp.asarray(frame.desc),
+            jnp.asarray(frame.octave), jnp.asarray(frame.valid),
+            jnp.asarray(feat_taken), th=float(th),
+        )
+        idx = np.asarray(m.idx)
+        rows = np.where(idx >= 0)[0]
+        rows = rows[rows < m_c]
+        frame.point_ids[idx[rows]] = cand[rows]
+        return np.asarray(info.visible)[:m_c]
+
     def _track_local_map(self, frame: Frame) -> bool:
         """Oracle: TrackLocalMap + SearchLocalPoints
         (src/Tracking.cc:1137-1202, :1403-1468)."""
@@ -495,50 +557,15 @@ class Tracker:
         new_mask = ~np.isin(pts, list(already)) if already else np.ones(pts.size, bool)
         cand = pts[new_mask][:cap]
 
-        # Pad candidate arrays to the static cap.
-        M = cap
-        pos = np.zeros((M, 3))
-        normal = np.zeros((M, 3))
-        dmin = np.zeros(M)
-        dmax = np.zeros(M)
-        desc = np.zeros((M, 8), np.uint32)
-        pvalid = np.zeros(M, bool)
-        m_c = cand.size
-        pos[:m_c] = self.map.pt_pos[cand]
-        normal[:m_c] = self.map.pt_normal[cand]
-        dmin[:m_c] = self.map.pt_min_dist[cand]
-        dmax[:m_c] = self.map.pt_max_dist[cand]
-        desc[:m_c] = self.map.pt_desc[cand]
-        pvalid[:m_c] = True
-
-        info = matchers.frustum_check(
-            jnp.asarray(pos), jnp.asarray(normal), jnp.asarray(dmin),
-            jnp.asarray(dmax), jnp.asarray(pvalid),
-            jnp.asarray(frame.R), jnp.asarray(frame.t),
-            cam.fx, cam.fy, cam.cx, cam.cy,
-            float(cam.width), float(cam.height),
-        )
-        visible = np.asarray(info.visible)
-        # Visibility counter (reference: IncreaseVisible,
-        # src/Tracking.cc:1420-1437).
-        self.map.pt_visible[cand[visible[:m_c]]] += 1
-
         # Wider search shortly after relocalization (reference:
         # src/Tracking.cc:1460-1464).
         th = self.config.tracker.search_radius_local_map
         if frame.frame_id < self.last_reloc_frame_id + 2:
             th = 5.0
-        feat_taken = frame.point_ids >= 0
-        m = matchers.match_local_map(
-            info, jnp.asarray(desc),
-            jnp.asarray(frame.xy), jnp.asarray(frame.desc),
-            jnp.asarray(frame.octave), jnp.asarray(frame.valid),
-            jnp.asarray(feat_taken), th=float(th),
-        )
-        idx = np.asarray(m.idx)
-        rows = np.where(idx >= 0)[0]
-        rows = rows[rows < m_c]
-        frame.point_ids[idx[rows]] = cand[rows]
+        visible = self._project_and_bind(frame, cand, th)
+        # Visibility counter (reference: IncreaseVisible,
+        # src/Tracking.cc:1420-1437).
+        self.map.pt_visible[cand[visible]] += 1
 
         R, t, inl, n_in = self._optimize_pose(frame, frame.R, frame.t)
         frame.set_pose(R, t)
@@ -637,6 +664,11 @@ class Tracker:
         else:
             self.state = TrackingState.LOST
             self.velocity = None
+            # Lost soon after initialization with a tiny map: ask the
+            # System for a full reset rather than trying to relocalize
+            # against <=5 keyframes (reference: src/Tracking.cc:540-552).
+            if self.map.n_keyframes() <= 5 and not self.localization_only:
+                self.request_reset = True
 
         self._record_trajectory(frame, lost=not ok)
         self.last_frame = frame
