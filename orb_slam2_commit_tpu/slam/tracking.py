@@ -67,6 +67,12 @@ class Tracker:
         self.n_inliers: int = 0
         self._rng_key = jax.random.key(0)
         self.localization_only = False
+        # Visual-odometry mode inside localization-only sessions: the last
+        # frame matched almost no persistent map points, so tracking rides
+        # temporal depth points while relocalization is attempted each
+        # frame (reference mbVO, src/Tracking.cc:382-447,1113-1129).
+        self.vo_only = False
+        self._temporal_points = np.zeros(0, np.int32)
         # Set when tracking is lost soon after initialization and the map
         # is too small to relocalize against — the System responds with a
         # full reset (reference: src/Tracking.cc:540-552).
@@ -313,6 +319,62 @@ class Tracker:
         self.n_inliers = n_in
         return frame, n_in >= self.config.tracker.min_inliers_track
 
+    def _spawn_temporal_vo_points(self) -> None:
+        """Localization-only stereo/RGB-D: spawn one-frame "visual
+        odometry" points from the last frame's depth for its unbound
+        features, so motion-model tracking has structure where the loaded
+        map is sparse (reference: Tracking::UpdateLastFrame,
+        src/Tracking.cc:971-1047 — nearest-first, at least 100 or all
+        closer than ThDepth)."""
+        last = self.last_frame
+        cam = self.config.camera
+        if (
+            not self.localization_only
+            or self.config.sensor == "monocular"
+            or last is None
+            or last.R is None
+        ):
+            return
+        close_th = cam.baseline * cam.th_depth
+        unbound = last.valid & (last.point_ids < 0) & (last.depth > 0)
+        feats = np.where(unbound)[0]
+        if feats.size == 0:
+            return
+        order = feats[np.argsort(last.depth[feats])]
+        z = last.depth[order]
+        n_close = int((z < close_th).sum())
+        take = order[: max(min(100, order.size), n_close)]
+        take = take[: self.map.cfg.max_points - self.map.next_pt]
+        if take.size == 0:
+            return
+        zt = last.depth[take].astype(np.float64)
+        x = (last.xy[take, 0] - cam.cx) / cam.fx * zt
+        y = (last.xy[take, 1] - cam.cy) / cam.fy * zt
+        p_cam = np.stack([x, y, zt], -1)
+        pw = (p_cam - last.t) @ last.R
+        ids = self.map.add_points(pw, first_kf=max(self.ref_kf, 0))
+        last.point_ids[take] = ids
+        self._temporal_points = ids
+
+    def _clear_temporal_vo_points(self, frame: Frame) -> None:
+        """Delete this frame's temporal VO points (reference deletes
+        mlpTemporalPoints at the end of every Track(),
+        src/Tracking.cc:519-526). Temporal points are never observed by
+        keyframes, so invalidating + unbinding from the two live frames is
+        a full teardown; their slots are the newest allocations and
+        localization mode allocates nothing else, so reclaim them."""
+        ids = self._temporal_points
+        if ids.size == 0:
+            return
+        self._temporal_points = np.zeros(0, np.int32)
+        self.map.pt_valid[ids] = False
+        for f in (self.last_frame, frame):
+            if f is not None:
+                f.point_ids[np.isin(f.point_ids, ids)] = INVALID
+        lo, hi = int(ids.min()), int(ids.max())
+        if hi == self.map.next_pt - 1 and ids.size == self.map.next_pt - lo:
+            self.map.next_pt = lo
+
     def _track_with_motion_model(self, frame: Frame) -> bool:
         """Oracle: Tracking::TrackWithMotionModel (src/Tracking.cc:1049-1135)."""
         if self.velocity is None or self.last_frame is None:
@@ -359,6 +421,16 @@ class Tracker:
         R, t, inl, n_in = self._optimize_pose(frame, R_pred, t_pred)
         frame.set_pose(R, t)
         self.n_inliers = n_in
+        if self.localization_only:
+            # Persistent-map inliers vs temporal VO inliers: almost none of
+            # the former means we are doing raw visual odometry
+            # (reference: src/Tracking.cc:1113-1129, mbVO = nmatchesMap<10).
+            b = frame.point_ids[frame.point_ids >= 0]
+            n_map_in = (
+                int((~np.isin(b, self._temporal_points)).sum()) if b.size else 0
+            )
+            self.vo_only = n_map_in < 10
+            return n_in >= 20
         return n_in >= self.config.tracker.min_inliers_track
 
     def _track_reference_keyframe(self, frame: Frame) -> bool:
@@ -604,15 +676,32 @@ class Tracker:
             (obs_counts[ref_pts] >= min_obs).sum()
         ) if ref_pts.size else 0
 
+        # Stereo/RGB-D: many close-depth features not yet in the map means
+        # we should insert even if inlier ratios look fine (reference
+        # bNeedToInsertClose + c1c, src/Tracking.cc:1236-1272).
+        close_needed = False
+        if self.config.sensor != "monocular":
+            cam = self.config.camera
+            close_th = cam.baseline * cam.th_depth
+            close = frame.valid & (frame.depth > 0) & (frame.depth < close_th)
+            n_tracked_close = int((close & (frame.point_ids >= 0)).sum())
+            n_untracked_close = int((close & (frame.point_ids < 0)).sum())
+            close_needed = (n_tracked_close < 100) and (n_untracked_close > 70)
+
         c1a = frame.frame_id >= self.last_kf_frame_id + self.config.tracker.kf_max_frames
         c1b = frame.frame_id >= self.last_kf_frame_id + self.config.tracker.kf_min_frames
+        c1c = self.config.sensor != "monocular" and (
+            self.n_inliers < n_ref_matches * 0.25 or close_needed
+        )
         ratio = self.config.tracker.kf_ref_ratio_mono
         if self.config.sensor != "monocular":
             ratio = self.config.tracker.kf_ref_ratio_stereo
         if n_kfs < 3:
             ratio = 0.4 if self.config.sensor != "monocular" else 0.9
-        c2 = (self.n_inliers < n_ref_matches * ratio) and self.n_inliers > 15
-        return bool((c1a or c1b) and c2)
+        c2 = (
+            (self.n_inliers < n_ref_matches * ratio) or close_needed
+        ) and self.n_inliers > 15
+        return bool((c1a or c1b or c1c) and c2)
 
     # ------------------------------------------------------------------
     # Main entry
@@ -644,14 +733,31 @@ class Tracker:
         if self.state == TrackingState.OK:
             if motion_ok is not None:
                 ok = motion_ok
+            elif self.localization_only and self.vo_only:
+                # Visual-odometry mode: ride the motion model on temporal
+                # points AND attempt relocalization; a successful reloc
+                # wins (reference: src/Tracking.cc:396-447).
+                self._spawn_temporal_vo_points()
+                ok_mm = self._track_with_motion_model(frame)
+                pose_mm = (frame.R, frame.t) if ok_mm else None
+                ids_mm = frame.point_ids.copy()
+                ok_reloc = self._relocalize(frame)
+                if ok_reloc:
+                    self.vo_only = False
+                    ok = True
+                elif ok_mm:
+                    frame.set_pose(*pose_mm)
+                    frame.point_ids = ids_mm
+                    ok = True
             else:
+                self._spawn_temporal_vo_points()
                 ok = self._track_with_motion_model(frame)
-            if not ok:
-                ok = self._track_reference_keyframe(frame)
+                if not ok:
+                    ok = self._track_reference_keyframe(frame)
         else:  # LOST
             ok = self._relocalize(frame)
 
-        if ok:
+        if ok and not (self.localization_only and self.vo_only):
             ok = self._track_local_map(frame)
 
         if ok:
@@ -671,6 +777,7 @@ class Tracker:
                 self.request_reset = True
 
         self._record_trajectory(frame, lost=not ok)
+        self._clear_temporal_vo_points(frame)
         self.last_frame = frame
         return (frame.R, frame.t) if ok else None
 
