@@ -42,6 +42,17 @@ class KeyFrameDatabase:
         self.words[kf_id] = words
         self.nodes[kf_id] = nodes
 
+    def grow(self, kind: str, new_capacity: int) -> None:
+        """MapState grow hook: keep the inverted file sized with the map's
+        keyframe capacity."""
+        if kind != "keyframes" or new_capacity <= self.present.shape[0]:
+            return
+        extra = new_capacity - self.present.shape[0]
+        self.bow = np.concatenate(
+            [self.bow, np.zeros((extra, self.bow.shape[1]), self.bow.dtype)]
+        )
+        self.present = np.concatenate([self.present, np.zeros(extra, bool)])
+
     def erase(self, kf_id: int) -> None:
         self.present[kf_id] = False
         self.bow[kf_id] = 0

@@ -70,6 +70,10 @@ class MapState:
     # Callbacks invoked with a keyframe id when it is culled (e.g. the
     # place-recognition database erasing its inverted-file entry).
     remove_kf_hooks: Optional[list] = None
+    # Callbacks invoked as hook(kind, new_capacity) after the map doubles
+    # a capacity ("keyframes" or "points"), so capacity-coupled structures
+    # (the place-recognition database) can grow in step.
+    grow_hooks: Optional[list] = None
     # Monotonically increasing map-change counter
     # (reference: Map::InformNewBigChange, src/Map.cc:70-80).
     big_change_idx: int = 0
@@ -108,6 +112,66 @@ class MapState:
         )
 
     # ------------------------------------------------------------------
+    # Capacity growth (the reference's pointer graph has no caps; the
+    # array map doubles in place so long sequences never hit a wall)
+    # ------------------------------------------------------------------
+
+    def _grow_keyframe_capacity(self) -> None:
+        k_old = self.cfg.max_keyframes
+        k_new = 2 * k_old
+
+        def pad(a: np.ndarray, fill) -> np.ndarray:
+            ext = np.full((k_new - k_old,) + a.shape[1:], fill, a.dtype)
+            return np.concatenate([a, ext], axis=0)
+
+        self.kf_valid = pad(self.kf_valid, False)
+        self.kf_pose_R = np.concatenate(
+            [self.kf_pose_R,
+             np.tile(np.eye(3, dtype=self.kf_pose_R.dtype),
+                     (k_new - k_old, 1, 1))],
+            axis=0,
+        )
+        self.kf_pose_t = pad(self.kf_pose_t, 0.0)
+        self.kf_xy = pad(self.kf_xy, 0.0)
+        self.kf_octave = pad(self.kf_octave, 0)
+        self.kf_angle = pad(self.kf_angle, 0.0)
+        self.kf_desc = pad(self.kf_desc, 0)
+        self.kf_feat_valid = pad(self.kf_feat_valid, False)
+        self.kf_depth = pad(self.kf_depth, -1.0)
+        self.kf_ur = pad(self.kf_ur, -1.0)
+        self.kf_point_idx = pad(self.kf_point_idx, INVALID)
+        self.kf_frame_id = pad(self.kf_frame_id, 0)
+        self.kf_timestamp = pad(self.kf_timestamp, 0.0)
+        self.kf_parent = pad(self.kf_parent, INVALID)
+        cov = np.zeros((k_new, k_new), self.cov_weight.dtype)
+        cov[:k_old, :k_old] = self.cov_weight
+        self.cov_weight = cov
+        self.cfg = dataclasses.replace(self.cfg, max_keyframes=k_new)
+        for hook in (self.grow_hooks or []):
+            hook("keyframes", k_new)
+
+    def _grow_point_capacity(self) -> None:
+        p_old = self.cfg.max_points
+        p_new = 2 * p_old
+
+        def pad(a: np.ndarray, fill) -> np.ndarray:
+            ext = np.full((p_new - p_old,) + a.shape[1:], fill, a.dtype)
+            return np.concatenate([a, ext], axis=0)
+
+        self.pt_valid = pad(self.pt_valid, False)
+        self.pt_pos = pad(self.pt_pos, 0.0)
+        self.pt_desc = pad(self.pt_desc, 0)
+        self.pt_normal = pad(self.pt_normal, 0.0)
+        self.pt_min_dist = pad(self.pt_min_dist, 0.0)
+        self.pt_max_dist = pad(self.pt_max_dist, 0.0)
+        self.pt_first_kf = pad(self.pt_first_kf, INVALID)
+        self.pt_visible = pad(self.pt_visible, 1)
+        self.pt_found = pad(self.pt_found, 1)
+        self.cfg = dataclasses.replace(self.cfg, max_points=p_new)
+        for hook in (self.grow_hooks or []):
+            hook("points", p_new)
+
+    # ------------------------------------------------------------------
     # Keyframe lifecycle
     # ------------------------------------------------------------------
 
@@ -130,8 +194,8 @@ class MapState:
         an existing map point (tracked matches, reference:
         src/LocalMapping.cc:191-218)."""
         k = self.next_kf
-        if k >= self.cfg.max_keyframes:
-            raise RuntimeError("keyframe capacity exceeded")
+        while k >= self.cfg.max_keyframes:
+            self._grow_keyframe_capacity()
         n = xy.shape[0]
         assert n <= self.n_feat, (n, self.n_feat)
         self.kf_valid[k] = True
@@ -195,8 +259,8 @@ class MapState:
     ) -> np.ndarray:
         """Allocate M new points; returns their ids."""
         m = positions.shape[0]
-        if self.next_pt + m > self.cfg.max_points:
-            raise RuntimeError("map point capacity exceeded")
+        while self.next_pt + m > self.cfg.max_points:
+            self._grow_point_capacity()
         ids = np.arange(self.next_pt, self.next_pt + m, dtype=np.int32)
         self.pt_valid[ids] = True
         self.pt_pos[ids] = positions

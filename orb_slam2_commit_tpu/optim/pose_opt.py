@@ -130,6 +130,13 @@ def pose_optimization(
     observations (outliers can return, like g2o level-1 edges whose error
     is recomputed, :489-494).
     """
+    from orb_slam2_commit_tpu.optim import pallas_pose_opt
+
+    if pallas_pose_opt.use_pallas_pose_opt():
+        return pallas_pose_opt.pose_optimization_pallas(
+            R0, t0, points, obs, fx, fy, cx, cy, bf, n_rounds, iters_per_round
+        )
+
     cam_params = (fx, fy, cx, cy, bf)
     delta2 = jnp.where(obs.is_stereo, CHI2_STEREO, CHI2_MONO)
 

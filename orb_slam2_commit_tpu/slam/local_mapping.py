@@ -211,10 +211,6 @@ class LocalMapper:
             g_rows = rows[good]
             if g_rows.size == 0:
                 continue
-            capacity = self.map.cfg.max_points - self.map.next_pt
-            if capacity <= 0:
-                break
-            g_rows = g_rows[:capacity]
             new_ids = self.map.add_points(pts[good][: g_rows.size], first_kf=kf)
             self.map.kf_point_idx[kf, g_rows] = new_ids
             self.map.kf_point_idx[k2, idx[g_rows]] = new_ids

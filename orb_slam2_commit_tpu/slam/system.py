@@ -71,6 +71,7 @@ class System:
             )
             self.tracker.kf_database = self.kf_database
             self.map.remove_kf_hooks = [self.kf_database.erase]
+            self.map.grow_hooks = [self.kf_database.grow]
             self.loop_closer = self._build_loop_closer()
         self.frame_count = 0
         self._shutdown = False
@@ -290,6 +291,7 @@ class System:
                 self.kf_database.present[:] = False
                 self.tracker.kf_database = self.kf_database
                 self.map.remove_kf_hooks = [self.kf_database.erase]
+                self.map.grow_hooks = [self.kf_database.grow]
                 self.loop_closer = self._build_loop_closer()
             if self.map_lock is not None:
                 self.mapper.map_lock = self.map_lock
@@ -322,10 +324,12 @@ class System:
             TrackingState.LOST if valid.size else TrackingState.NOT_INITIALIZED
         )
         if self.kf_database is not None:
+            self.kf_database.grow("keyframes", self.map.cfg.max_keyframes)
             self.kf_database.bow[:] = 0
             self.kf_database.present[:] = False
             serialization.rebuild_database(self.map, self.kf_database)
             self.map.remove_kf_hooks = [self.kf_database.erase]
+            self.map.grow_hooks = [self.kf_database.grow]
         if self.loop_closer is not None:
             self.loop_closer.map = self.map
 

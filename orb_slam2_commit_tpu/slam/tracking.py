@@ -344,7 +344,6 @@ class Tracker:
         z = last.depth[order]
         n_close = int((z < close_th).sum())
         take = order[: max(min(100, order.size), n_close)]
-        take = take[: self.map.cfg.max_points - self.map.next_pt]
         if take.size == 0:
             return
         zt = last.depth[take].astype(np.float64)
@@ -660,8 +659,6 @@ class Tracker:
         """Oracle: Tracking::NeedNewKeyFrame (src/Tracking.cc:1205-1309),
         synchronous-mapper simplification: the mapper is always idle."""
         if self.localization_only:
-            return False
-        if self.map.n_keyframes() >= self.map.cfg.max_keyframes - 2:
             return False
         # Min observations for a "tracked" reference point. The reference
         # uses 3 once nKFs > 2 (src/Tracking.cc:1231-1234); we hold it at 2

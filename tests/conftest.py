@@ -16,8 +16,21 @@ os.environ["XLA_FLAGS"] = (
 ).strip()
 
 import jax  # noqa: E402
+import pytest  # noqa: E402
 
 jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_enable_x64", True)
 
 assert jax.device_count() == 8, jax.devices()
+
+
+@pytest.fixture(autouse=True, scope="module")
+def _clear_jax_caches_between_modules():
+    """Drop compiled executables after each test module.
+
+    The full suite compiles hundreds of XLA CPU programs; letting them
+    accumulate has produced segfaults inside backend_compile_and_load
+    late in the run (LLVM resource exhaustion). Modules rarely share
+    shapes, so the lost cache hits are cheap."""
+    yield
+    jax.clear_caches()
