@@ -50,6 +50,12 @@ class MapState:
     kf_frame_id: np.ndarray       # [K] int64
     kf_timestamp: np.ndarray      # [K] float64
     kf_parent: np.ndarray         # [K] int32 — spanning tree parent (-1 root)
+    # Relative pose to the cull-time parent, frozen when a keyframe is
+    # culled (reference: KeyFrame::mTcp set in SetBadFlag,
+    # src/KeyFrame.cc:671) — used to chain trajectory references through
+    # bad keyframes even after later BA moves the parent.
+    kf_tcp_R: np.ndarray          # [K, 3, 3]
+    kf_tcp_t: np.ndarray          # [K, 3]
 
     # --- map points ---
     pt_valid: np.ndarray          # [P] bool
@@ -99,6 +105,8 @@ class MapState:
             kf_frame_id=np.zeros(K, np.int64),
             kf_timestamp=np.zeros(K, np.float64),
             kf_parent=np.full(K, INVALID, np.int32),
+            kf_tcp_R=np.tile(np.eye(3, dtype=np.float64), (K, 1, 1)),
+            kf_tcp_t=np.zeros((K, 3), np.float64),
             pt_valid=np.zeros(P, bool),
             pt_pos=np.zeros((P, 3), np.float64),
             pt_desc=np.zeros((P, 8), np.uint32),
@@ -143,6 +151,13 @@ class MapState:
         self.kf_frame_id = pad(self.kf_frame_id, 0)
         self.kf_timestamp = pad(self.kf_timestamp, 0.0)
         self.kf_parent = pad(self.kf_parent, INVALID)
+        self.kf_tcp_R = np.concatenate(
+            [self.kf_tcp_R,
+             np.tile(np.eye(3, dtype=self.kf_tcp_R.dtype),
+                     (k_new - k_old, 1, 1))],
+            axis=0,
+        )
+        self.kf_tcp_t = pad(self.kf_tcp_t, 0.0)
         cov = np.zeros((k_new, k_new), self.cov_weight.dtype)
         cov[:k_old, :k_old] = self.cov_weight
         self.cov_weight = cov
@@ -228,24 +243,51 @@ class MapState:
 
     def remove_keyframe(self, k: int) -> None:
         """Cull a keyframe: detach observations, re-parent spanning-tree
-        children to this KF's parent (simplified vs the candidate-search
-        loop of src/KeyFrame.cc:600-668 — children hop to the grandparent,
-        which is always a valid covisible candidate)."""
+        children, freeze the relative-to-parent pose.
+
+        Re-parenting follows the reference's candidate-search loop
+        (src/KeyFrame.cc:600-668): candidates start as {parent}; repeatedly
+        the (child, candidate) pair with the highest covisibility weight is
+        linked and the child joins the candidate set, so the subtree is
+        re-attached along strong covisibility edges; children with no
+        covisible candidate fall back to the grandparent (:660-668).
+        The frozen ``Tcp = Tcw_k @ Twc_parent`` (KeyFrame::mTcp, :671) lets
+        trajectory export chain through this keyframe even after later BA
+        moves the parent. Previously-culled keyframes whose frozen parent
+        is ``k`` keep pointing at it — their Tcp chains through ``k``'s own
+        frozen Tcp, mirroring the reference's walk through bad keyframes
+        (src/System.cc:376-380)."""
         assert self.kf_valid[k]
         for hook in (self.remove_kf_hooks or []):
             hook(int(k))
+        parent = int(self.kf_parent[k])
+        if parent >= 0:
+            R_kp = self.kf_pose_R[k] @ self.kf_pose_R[parent].T
+            self.kf_tcp_R[k] = R_kp
+            self.kf_tcp_t[k] = self.kf_pose_t[k] - R_kp @ self.kf_pose_t[parent]
+        children = [
+            int(c)
+            for c in np.where((self.kf_parent == k) & self.kf_valid)[0]
+            if c != k
+        ]
+        candidates = [parent] if parent >= 0 else []
+        while children and candidates:
+            W = self.cov_weight[np.ix_(children, candidates)]
+            flat = int(np.argmax(W))
+            if W.flat[flat] <= 0:
+                break
+            ci, pi = divmod(flat, len(candidates))
+            best_child = children.pop(ci)
+            self.kf_parent[best_child] = candidates[pi]
+            candidates.append(best_child)
+        for c in children:
+            self.kf_parent[c] = parent
         self.kf_valid[k] = False
         self.kf_point_idx[k] = INVALID
         self.kf_feat_valid[k] = False
         self.cov_weight[k, :] = 0
         self.cov_weight[:, k] = 0
-        parent = self.kf_parent[k]
-        children = np.where(self.kf_parent == k)[0]
-        self.kf_parent[children] = parent
         # Refresh observation-derived point attributes.
-        touched = np.unique(self.kf_point_idx[self.kf_valid][
-            self.kf_feat_valid[self.kf_valid]
-        ])
         self.refresh_point_stats()
 
     # ------------------------------------------------------------------

@@ -21,7 +21,7 @@ from orb_slam2_commit_tpu.utils.config import MapConfig
 _ARRAY_FIELDS = [
     "kf_valid", "kf_pose_R", "kf_pose_t", "kf_xy", "kf_octave", "kf_angle",
     "kf_desc", "kf_feat_valid", "kf_depth", "kf_ur", "kf_point_idx",
-    "kf_frame_id", "kf_timestamp", "kf_parent",
+    "kf_frame_id", "kf_timestamp", "kf_parent", "kf_tcp_R", "kf_tcp_t",
     "pt_valid", "pt_pos", "pt_desc", "pt_normal", "pt_min_dist",
     "pt_max_dist", "pt_first_kf", "pt_visible", "pt_found",
     "cov_weight",
@@ -59,7 +59,8 @@ def load_map(path: str) -> MapState:
     )
     m = MapState.create(cfg, int(meta[3]))
     for f in _ARRAY_FIELDS:
-        getattr(m, f)[...] = data[f]
+        if f in data:   # tolerate checkpoints written before a field existed
+            getattr(m, f)[...] = data[f]
     m.next_kf = int(meta[0])
     m.next_pt = int(meta[1])
     m.big_change_idx = int(meta[2])

@@ -367,16 +367,16 @@ class System:
             R_rel, t_rel = e.R_rel, e.t_rel
             hops = 0
             while k >= 0 and not self.map.kf_valid[k] and hops < 64:
-                # The entry's rel pose was stored against a culled KF whose
-                # pose arrays still hold its last value: chain through it.
+                # The entry's rel pose was stored against a culled KF:
+                # chain through its cull-time-frozen Tcp (KeyFrame::mTcp,
+                # reference src/System.cc:376-380) — NOT its stale pose
+                # arrays, which would mix with the parent's possibly
+                # BA-corrected current pose.
                 parent = int(self.map.kf_parent[k])
-                Rk, tk = self.map.kf_pose_R[k], self.map.kf_pose_t[k]
                 if parent < 0:
                     break
-                Rp, tp = self.map.kf_pose_R[parent], self.map.kf_pose_t[parent]
-                # T_{k<-parent} = Tcw_k * Twc_parent; new rel = rel * that.
-                R_kp = Rk @ Rp.T
-                t_kp = tk - R_kp @ tp
+                R_kp = self.map.kf_tcp_R[k]
+                t_kp = self.map.kf_tcp_t[k]
                 t_rel = R_rel @ t_kp + t_rel
                 R_rel = R_rel @ R_kp
                 k = parent

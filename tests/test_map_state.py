@@ -114,3 +114,57 @@ class TestKeyframeRemoval:
         assert m.kf_parent[k2] == m.kf_parent[k1]
         assert not m.kf_valid[k1]
         assert m.cov_weight[k1].sum() == 0
+
+    def test_reparent_prefers_strongest_covisible_candidate(self):
+        # Reference candidate-search loop (src/KeyFrame.cc:600-668): a
+        # re-parented child becomes a candidate, so a later child with a
+        # strong edge to it attaches THERE, not to the grandparent.
+        m = small_map(n_feat=32, max_pts=128)
+        ids = m.add_points(np.zeros((40, 3)), first_kf=0)
+        k0 = add_kf(m, ids[:10])            # root
+        k1 = add_kf(m, ids[:10])            # parent = k0 (10 shared)
+        k2 = add_kf(m, ids[:9])             # strong edge to k0/k1
+        k3 = add_kf(m, ids[2:10])           # shares 8 w/ k0,k1,k2
+        # Build: k2, k3 children of k1; k3 covis with k2 stronger than k0.
+        m.kf_parent[k2] = k1
+        m.kf_parent[k3] = k1
+        m.cov_weight[k3, k0] = 1
+        m.cov_weight[k0, k3] = 1
+        m.cov_weight[k3, k2] = 7
+        m.cov_weight[k2, k3] = 7
+        m.remove_keyframe(k1)
+        assert m.kf_parent[k2] == k0        # strongest vs the only candidate
+        assert m.kf_parent[k3] == k2        # k2 joined the candidate set
+
+    def test_culled_child_keeps_frozen_parent(self):
+        m = small_map()
+        ids = m.add_points(np.zeros((12, 3)), first_kf=0)
+        k0 = add_kf(m, ids[:10])
+        k1 = add_kf(m, ids[:8])
+        k2 = add_kf(m, ids[:6])
+        m.kf_parent[k1] = k0
+        m.kf_parent[k2] = k1
+        m.remove_keyframe(k2)               # frozen against k1
+        m.remove_keyframe(k1)               # must NOT re-parent culled k2
+        assert m.kf_parent[k2] == k1
+        assert m.kf_parent[k1] == k0
+
+    def test_tcp_frozen_at_cull_time(self):
+        # After culling, moving the parent (as BA would) must not change
+        # the culled KF's relative pose chain (KeyFrame::mTcp semantics).
+        rng = np.random.default_rng(3)
+        m = small_map()
+        ids = m.add_points(np.zeros((12, 3)), first_kf=0)
+        k0 = add_kf(m, ids[:10], pose_t=np.array([0.0, 0.0, 0.0]))
+        k1 = add_kf(m, ids[:8], pose_t=np.array([1.0, 0.0, 0.0]))
+        m.kf_parent[k1] = k0
+        R1, t1 = m.kf_pose_R[k1].copy(), m.kf_pose_t[k1].copy()
+        R0, t0 = m.kf_pose_R[k0].copy(), m.kf_pose_t[k0].copy()
+        m.remove_keyframe(k1)
+        # BA moves the parent afterwards.
+        m.kf_pose_t[k0] += rng.normal(0, 0.5, 3)
+        # Frozen Tcp reproduces the cull-time relative pose.
+        np.testing.assert_allclose(m.kf_tcp_R[k1], R1 @ R0.T, atol=1e-12)
+        np.testing.assert_allclose(
+            m.kf_tcp_t[k1], t1 - (R1 @ R0.T) @ t0, atol=1e-12
+        )
