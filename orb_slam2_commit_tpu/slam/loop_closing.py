@@ -73,6 +73,11 @@ class LoopCloser:
         self.last_loop_kf: int = -(10 ** 9)
         self._rng_key = jax.random.key(7)
         self.n_loops_closed = 0
+        # When set (async pipelines), global BA after a loop correction
+        # runs on the runner's transient thread, abortable by the next
+        # loop — the reference's GBA thread (src/LoopClosing.cc:801,
+        # slam/global_ba.py). None keeps the synchronous inline solve.
+        self.gba_runner = None
 
     # ------------------------------------------------------------------
 
@@ -286,6 +291,13 @@ class LoopCloser:
         m = self.map
         fix_scale = cfg.sensor != "monocular"
 
+        # A global BA still running for a previous loop is now stale:
+        # abort it before touching the map (reference :556-572, mbStopGBA
+        # + mnFullBAIdx bump). Non-blocking — the runner re-checks its
+        # generation token under the map lock before merging.
+        if self.gba_runner is not None:
+            self.gba_runner.request_abort()
+
         # Snapshot pre-correction poses: the essential graph needs
         # NON-corrected relative measurements for old edges
         # (reference NonCorrectedSim3, :604-633).
@@ -350,7 +362,13 @@ class LoopCloser:
         )
 
         # 6. Global BA (reference spawns RunGlobalBundleAdjustment :801).
-        self.run_global_ba(anchor_kf=loop_kf)
+        if self.gba_runner is not None:
+            # Transient thread: snapshots the map once the correction's
+            # lock is released, solves concurrently with tracking/mapping,
+            # merges via spanning-tree propagation.
+            self.gba_runner.launch(m, anchor_kf=loop_kf)
+        else:
+            self.run_global_ba(anchor_kf=loop_kf)
         m.refresh_point_stats()
         m.big_change_idx += 1
 

@@ -87,6 +87,15 @@ class System:
             self.mapping_worker = MappingWorker(
                 self.mapper, self.loop_closer, self.map_lock
             )
+            if self.loop_closer is not None:
+                # Global BA after loop corrections runs on its own
+                # abortable thread, concurrent with tracking+mapping
+                # (reference GBA thread, src/LoopClosing.cc:801).
+                from orb_slam2_commit_tpu.slam.global_ba import GlobalBARunner
+
+                self.loop_closer.gba_runner = GlobalBARunner(
+                    config, self.map_lock
+                )
 
     @staticmethod
     def _n_features(config: SLAMConfig) -> int:
@@ -271,6 +280,11 @@ class System:
         state, and restart tracking from scratch. Every pipeline stage is
         rebuilt against the fresh map (the reference clears the shared
         pointer graph in place under the same stop protocol)."""
+        gba = getattr(self.loop_closer, "gba_runner", None)
+        if gba is not None:
+            # Must happen before taking the map lock (the runner may be
+            # waiting on it to merge).
+            gba.abort_and_join()
         if self.mapping_worker is not None:
             self.mapping_worker.wait_idle()
         lock = self.map_lock
@@ -293,6 +307,8 @@ class System:
                 self.map.remove_kf_hooks = [self.kf_database.erase]
                 self.map.grow_hooks = [self.kf_database.grow]
                 self.loop_closer = self._build_loop_closer()
+                if gba is not None:
+                    self.loop_closer.gba_runner = gba
             if self.map_lock is not None:
                 self.mapper.map_lock = self.map_lock
             if self.mapping_worker is not None:
@@ -339,6 +355,11 @@ class System:
         if self.mapping_worker is not None:
             self.mapping_worker.wait_idle()
             self.mapping_worker.join()
+        gba = getattr(self.loop_closer, "gba_runner", None)
+        if gba is not None:
+            # Let a running global BA finish and merge (the reference's
+            # Shutdown spin-waits on isRunningGBA, src/System.cc:327-330).
+            gba.join()
         self._shutdown = True
 
     def timings(self):
