@@ -273,12 +273,15 @@ def bundle_adjust(
         new_cost = cost_of(p_new)
         accept = new_cost < cost
         step_sq = jnp.sum(delta_c * delta_c) + jnp.sum(delta_p * delta_p)
+        # Dtype-aware convergence floor (see optim/pose_opt.py): 1e-16 is
+        # unreachable in float32, where LM stalls near |delta| ~ 1e-6.
+        step_eps = 1e-16 if problem.points.dtype == jnp.float64 else 1e-10
         if axis_name is not None:
             # delta_c is replicated, delta_p chunk is replicated too (the
             # solve already psum'd); no further reduction needed, but keep
             # the guard explicit for future sharded variants.
             pass
-        converged = accept & (step_sq < 1e-16)
+        converged = accept & (step_sq < step_eps)
         p_out = jax.tree.map(
             lambda a, b: jnp.where(accept, b, a), p, p_new
         )

@@ -61,6 +61,13 @@ def _lm_rounds(
     """n_iters of Levenberg-Marquardt on the 6-dof pose."""
     delta2 = jnp.where(obs.is_stereo, CHI2_STEREO, CHI2_MONO)
 
+    # Convergence threshold on |delta|^2, dtype-aware: 1e-16 is reachable
+    # only in float64 — float32 LM stalls around |delta| ~ 1e-6, so on
+    # accelerators (x64 off) the loop would always run its full budget.
+    # |delta| < 1e-5 means < f*1e-5 ~ 5e-3 px of reprojection motion:
+    # numerically converged at either precision.
+    step_eps = 1e-16 if jnp.dtype(R0.dtype) == jnp.float64 else 1e-10
+
     def full_eval(R, t):
         """Residuals, robust weights, Jacobian AND cost in one pass — the
         LM loop below carries this for the accepted point so each
@@ -90,7 +97,7 @@ def _lm_rounds(
         t_new = dR @ t + dt
         e_new, w_new, J_new, new_cost = full_eval(R_new, t_new)
         accept = new_cost < cost
-        converged = accept & (jnp.sum(delta * delta) < 1e-16)
+        converged = accept & (jnp.sum(delta * delta) < step_eps)
         R = jnp.where(accept, R_new, R)
         t = jnp.where(accept, t_new, t)
         lam = jnp.where(accept, lam * 0.5, lam * 4.0)
@@ -106,7 +113,11 @@ def _lm_rounds(
              jnp.asarray(False))
     state = jax.lax.while_loop(cond, body, state)
     R, t = state[1], state[2]
-    return R, t
+    # "Settled" = exited on convergence or a fully-stalled damping ladder
+    # (either way further iterations would not move the pose), as opposed
+    # to running out of the iteration budget.
+    settled = state[-1] | (state[3] >= 1e8)
+    return R, t, settled
 
 
 def pose_optimization(
@@ -140,17 +151,37 @@ def pose_optimization(
     cam_params = (fx, fy, cx, cy, bf)
     delta2 = jnp.where(obs.is_stereo, CHI2_STEREO, CHI2_MONO)
 
-    R, t = R0, t0
-    inliers = obs.valid
-    for rnd in range(n_rounds):
+    def run_round(rnd, R, t, active):
         use_robust = rnd < n_rounds - 1
-        R, t = _lm_rounds(
-            R, t, points, obs, cam_params, inliers, use_robust, iters_per_round
+        R, t, settled = _lm_rounds(
+            R, t, points, obs, cam_params, active, use_robust, iters_per_round
         )
         _, _, chi2, _, z = _eval(
             R, t, points, obs, cam_params, use_robust, obs.valid
         )
-        inliers = obs.valid & (chi2 <= delta2) & (z > 0)
+        inl = obs.valid & (chi2 <= delta2) & (z > 0)
+        return R, t, inl, settled
+
+    # Round 0 always runs.
+    R, t, inliers, settled = run_round(0, R0, t0, obs.valid)
+    prev_active = obs.valid
+    for rnd in range(1, n_rounds):
+        # A round whose active set equals the previous round's AND whose
+        # starting pose already settled is a numerical no-op — for
+        # inliers (chi2 <= delta2) the Huber cost IS the quadratic cost,
+        # so even the robust->plain switch of the last round changes
+        # nothing on an unchanged inlier set. lax.cond skips the whole
+        # LM loop in that case (the common steady-tracking case: only
+        # rounds 0-1 do real work).
+        active = inliers
+        skip = settled & jnp.all(active == prev_active)
+        R, t, inliers, settled = jax.lax.cond(
+            skip,
+            lambda R, t, a: (R, t, a, jnp.asarray(True)),
+            functools.partial(run_round, rnd),
+            R, t, active,
+        )
+        prev_active = active
 
     return PoseOptResult(R=R, t=t, inliers=inliers, n_inliers=jnp.sum(inliers))
 

@@ -61,7 +61,73 @@ def main():
                                     config)
         return out.n_inliers.astype(jnp.float32)
 
-    stages = [("extract", p_extract), ("extract+match", p_match),
+    # Extraction sub-stage prefixes (packed-canvas route internals).
+    from orb_slam2_commit_tpu.ops import descriptors as desc_ops
+    from orb_slam2_commit_tpu.ops import fast as fast_ops
+    from orb_slam2_commit_tpu.ops import packed_extractor as pe
+    from orb_slam2_commit_tpu.ops import pallas_level
+    import numpy as _np
+
+    plan = pe.make_plan(config.orb, cam.height, cam.width)
+    budgets = config.orb.features_per_level()
+
+    def upto_canvas(im, fb, *r):
+        canvas = pe.build_canvas(im + 0.0 * fb, plan)
+        return jnp.sum(canvas)
+
+    def upto_preprocess(im, fb, *r):
+        canvas = pe.build_canvas(im + 0.0 * fb, plan)
+        blur_c, hi_c, lo_c = pallas_level.level_preprocess(
+            canvas, float(config.orb.ini_th_fast), float(config.orb.min_th_fast)
+        )
+        return jnp.sum(blur_c) + jnp.sum(hi_c) + jnp.sum(lo_c)
+
+    def upto_select(im, fb, *r):
+        canvas = pe.build_canvas(im + 0.0 * fb, plan)
+        blur_c, hi_c, lo_c = pallas_level.level_preprocess(
+            canvas, float(config.orb.ini_th_fast), float(config.orb.min_th_fast)
+        )
+        mask = jnp.asarray(pe._border_mask_np(plan))
+        score = fast_ops.combine_two_threshold(
+            hi_c * mask, lo_c * mask, config.orb.cell_size
+        )
+        yx, resp, valid = pe.packed_select(
+            score, plan, budgets, config.orb.cell_size, config.orb.cell_top_k
+        )
+        return jnp.sum(yx) + jnp.sum(resp) + jnp.sum(blur_c)
+
+    def upto_angle(im, fb, *r):
+        canvas = pe.build_canvas(im + 0.0 * fb, plan)
+        blur_c, hi_c, lo_c = pallas_level.level_preprocess(
+            canvas, float(config.orb.ini_th_fast), float(config.orb.min_th_fast)
+        )
+        mask = jnp.asarray(pe._border_mask_np(plan))
+        score = fast_ops.combine_two_threshold(
+            hi_c * mask, lo_c * mask, config.orb.cell_size
+        )
+        yx, resp, valid = pe.packed_select(
+            score, plan, budgets, config.orb.cell_size, config.orb.cell_top_k
+        )
+        kmax = yx.shape[1]
+        sel = jnp.asarray(_np.concatenate(
+            [_np.arange(b, dtype=_np.int32) + l * kmax
+             for l, b in enumerate(budgets)]
+        ))
+        yx_flat = yx.reshape(-1, 2)[sel]
+        angle = desc_ops.ic_angle_patches(canvas, yx_flat)
+        return jnp.sum(angle) + jnp.sum(blur_c)
+
+    def p_floor(im, fb, *r):
+        # Near-zero compute: isolates the per-dispatch floor the prefix
+        # timings all carry.
+        return jnp.sum(im) + fb
+
+    stages = [("floor", p_floor),
+              ("canvas", upto_canvas),
+              ("+blur/FAST", upto_preprocess),
+              ("+select", upto_select),
+              ("+ic_angle", upto_angle),
+              ("extract", p_extract), ("extract+match", p_match),
               ("full(+poseBA)", p_full)]
 
     n_images = 8
