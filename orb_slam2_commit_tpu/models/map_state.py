@@ -71,6 +71,13 @@ class MapState:
     # --- covisibility ---
     cov_weight: np.ndarray        # [K, K] int32 — shared-point counts
 
+    # Loop-closure edges, kept for the lifetime of the map (reference:
+    # KeyFrame::AddLoopEdge both ways at src/LoopClosing.cc:792-793;
+    # every later OptimizeEssentialGraph includes them,
+    # src/Optimizer.cc:966-985, and their keyframes are protected from
+    # culling via mbNotErase, src/KeyFrame.cc:532-565).
+    loop_edges: Optional[List[Tuple[int, int]]] = None
+
     next_kf: int = 0
     next_pt: int = 0
     # Callbacks invoked with a keyframe id when it is culled (e.g. the
@@ -117,7 +124,21 @@ class MapState:
             pt_visible=np.ones(P, np.int32),
             pt_found=np.ones(P, np.int32),
             cov_weight=np.zeros((K, K), np.int32),
+            loop_edges=[],
         )
+
+    def add_loop_edge(self, a: int, b: int) -> None:
+        pair = (int(min(a, b)), int(max(a, b)))
+        if pair not in (self.loop_edges or []):
+            if self.loop_edges is None:
+                self.loop_edges = []
+            self.loop_edges.append(pair)
+
+    def has_loop_edge(self, k: int) -> bool:
+        """Keyframes holding a loop edge must never be culled (reference
+        mbNotErase, src/KeyFrame.cc:532-565)."""
+        k = int(k)
+        return any(k in pair for pair in (self.loop_edges or []))
 
     # ------------------------------------------------------------------
     # Capacity growth (the reference's pointer graph has no caps; the

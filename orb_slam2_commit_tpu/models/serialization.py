@@ -30,6 +30,9 @@ _ARRAY_FIELDS = [
 
 def save_map(map_state: MapState, path: str) -> None:
     arrays = {f: getattr(map_state, f) for f in _ARRAY_FIELDS}
+    arrays["_loop_edges"] = np.asarray(
+        map_state.loop_edges or [], np.int64
+    ).reshape(-1, 2)
     arrays["_meta"] = np.asarray(
         [
             map_state.next_kf,
@@ -64,6 +67,8 @@ def load_map(path: str) -> MapState:
     m.next_kf = int(meta[0])
     m.next_pt = int(meta[1])
     m.big_change_idx = int(meta[2])
+    if "_loop_edges" in data:
+        m.loop_edges = [tuple(int(x) for x in row) for row in data["_loop_edges"]]
     return m
 
 

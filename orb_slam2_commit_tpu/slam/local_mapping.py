@@ -368,6 +368,10 @@ class LocalMapper:
             k = int(k)
             if k == 0 or k == kf or not self.map.kf_valid[k]:
                 continue
+            if self.map.has_loop_edge(k):
+                # Loop-edge keyframes are never erased (reference
+                # mbNotErase, src/KeyFrame.cc:532-565).
+                continue
             row = self.map.kf_point_idx[k]
             feats = np.where((row >= 0) & self.map.pt_valid[np.maximum(row, 0)])[0]
             if feats.size == 0:

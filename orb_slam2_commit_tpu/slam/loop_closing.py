@@ -360,6 +360,9 @@ class LoopCloser:
         self._optimize_essential_graph(
             kf, loop_kf, fix_scale, poses_R_old, poses_t_old, corrected_set
         )
+        # Persist the loop edge both ways (reference AddLoopEdge :792-793);
+        # later essential graphs keep it, culling protects its keyframes.
+        m.add_loop_edge(kf, loop_kf)
 
         # 6. Global BA (reference spawns RunGlobalBundleAdjustment :801).
         if self.gba_runner is not None:
@@ -416,6 +419,11 @@ class LoopCloser:
                 int(k), None, min_weight=self.essential_min_weight
             ):
                 add_edge(k, c)
+        # Loop edges from EARLIER closures stay in every essential graph
+        # (reference src/Optimizer.cc:966-985); their measurements use the
+        # pre-correction poses like any other old edge.
+        for (a, b) in (m.loop_edges or []):
+            add_edge(a, b)
         add_edge(kf, loop_kf)
 
         if not ei:

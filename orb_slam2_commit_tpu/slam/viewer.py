@@ -63,10 +63,18 @@ def draw_map_topdown(
     current_pose: Optional[tuple] = None,
     size: int = 512,
     margin: float = 1.2,
+    loop_edges: Optional[list] = None,
+    follow: bool = False,
+    follow_radius: float = 5.0,
 ) -> np.ndarray:
     """Top-down (x-z) map view [size, size, 3] uint8 (oracle: MapDrawer):
     map points (white), keyframes (blue), covisibility edges (gray),
-    current camera (green)."""
+    spanning tree (dark green), loop edges (red, pass [(a, b), ...]),
+    current camera with a view-direction frustum wedge (green).
+
+    follow=True centers the view on the current camera at a fixed
+    follow_radius instead of framing the whole map — the reference
+    Viewer's "Follow Camera" menu toggle (src/Viewer.cc:70,99-120)."""
     canvas = np.zeros((size, size, 3), np.uint8)
     pts = map_state.pt_pos[map_state.pt_valid]
     kfs = np.where(map_state.kf_valid)[0]
@@ -83,10 +91,16 @@ def draw_map_topdown(
     )
     if all_xz.shape[0] == 0:
         return canvas
-    lo = all_xz.min(0) - 1e-3
-    hi = all_xz.max(0) + 1e-3
-    center = (lo + hi) / 2
-    scale = (size / 2 - 8) / (margin * max((hi - lo).max() / 2, 1e-6))
+    if follow and current_pose is not None:
+        R_cur, t_cur = current_pose
+        c_cur = -np.asarray(R_cur).T @ np.asarray(t_cur)
+        center = c_cur[[0, 2]]
+        scale = (size / 2 - 8) / (margin * follow_radius)
+    else:
+        lo = all_xz.min(0) - 1e-3
+        hi = all_xz.max(0) + 1e-3
+        center = (lo + hi) / 2
+        scale = (size / 2 - 8) / (margin * max((hi - lo).max() / 2, 1e-6))
 
     def to_px(xz):
         p = (xz - center) * scale
@@ -99,18 +113,40 @@ def draw_map_topdown(
         u, v = to_px(pts[:, [0, 2]])
         canvas[v, u] = [200, 200, 200]
 
-    # Covisibility edges (weight >= threshold).
+    kf_row = {int(a): i for i, a in enumerate(kfs)}
+
+    def line(pa, pb, color):
+        ua, va = to_px(pa)
+        ub, vb = to_px(pb)
+        n = max(abs(int(ub) - int(ua)), abs(int(vb) - int(va)), 1)
+        us = np.linspace(ua, ub, n + 1).astype(int)
+        vs = np.linspace(va, vb, n + 1).astype(int)
+        canvas[vs, us] = color
+
+    # Covisibility edges (weight >= threshold; MapDrawer::DrawKeyFrames
+    # graph pass, src/MapDrawer.cc:126-160).
     th = map_state.cfg.covisibility_min_weight
     for a_i, a in enumerate(kfs):
         for b_i, b in enumerate(kfs):
             if b <= a or map_state.cov_weight[a, b] < th:
                 continue
-            ua, va = to_px(centers[a_i, [0, 2]])
-            ub, vb = to_px(centers[b_i, [0, 2]])
-            n = max(abs(int(ub) - int(ua)), abs(int(vb) - int(va)), 1)
-            us = np.linspace(ua, ub, n + 1).astype(int)
-            vs = np.linspace(va, vb, n + 1).astype(int)
-            canvas[vs, us] = [90, 90, 90]
+            line(centers[a_i, [0, 2]], centers[b_i, [0, 2]], [90, 90, 90])
+
+    # Spanning tree (MapDrawer draws it in the same green pass :150-160).
+    for a_i, a in enumerate(kfs):
+        p = int(map_state.kf_parent[a])
+        if p in kf_row:
+            line(centers[a_i, [0, 2]], centers[kf_row[p], [0, 2]],
+                 [40, 140, 60])
+
+    # Loop edges (red; MapDrawer :163-176). Defaults to the map's own
+    # retained loop edges.
+    if loop_edges is None:
+        loop_edges = map_state.loop_edges
+    for (a, b) in (loop_edges or []):
+        if int(a) in kf_row and int(b) in kf_row:
+            line(centers[kf_row[int(a)], [0, 2]],
+                 centers[kf_row[int(b)], [0, 2]], [255, 60, 60])
 
     if centers.size:
         u, v = to_px(centers[:, [0, 2]])
@@ -119,9 +155,17 @@ def draw_map_topdown(
 
     if current_pose is not None:
         R, t = current_pose
-        c = -R.T @ t
+        c = -np.asarray(R).T @ np.asarray(t)
         u, v = to_px(np.asarray([c[0], c[2]]))
         canvas[max(v - 3, 0):v + 4, max(u - 3, 0):u + 4] = [0, 255, 0]
+        # Frustum wedge: optical axis +z and the two horizontal frustum
+        # rays in world coords (MapDrawer::DrawCurrentCamera :189-236).
+        Rwc = np.asarray(R).T
+        for ang in (-0.4, 0.0, 0.4):
+            d = Rwc @ np.array([np.sin(ang), 0.0, np.cos(ang)])
+            tip = c + 0.8 * d
+            line(np.asarray([c[0], c[2]]), np.asarray([tip[0], tip[2]]),
+                 [0, 255, 0])
     return canvas
 
 

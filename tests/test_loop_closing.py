@@ -149,6 +149,15 @@ class TestLoopClosing:
         assert closer.n_loops_closed >= 1
         assert closed_at >= 13  # only after revisiting the start
 
+    def test_loop_edge_retained_and_protected(self, closed_map):
+        """The closed loop leaves a permanent edge (reference AddLoopEdge,
+        src/LoopClosing.cc:792-793) whose keyframes are protected from
+        culling (mbNotErase, src/KeyFrame.cc:532-565)."""
+        _, m, _, _, closer, _, _ = closed_map
+        assert m.loop_edges, "loop edge not retained"
+        a, b = m.loop_edges[0]
+        assert m.has_loop_edge(a) and m.has_loop_edge(b)
+
     def test_drift_removed(self, closed_map):
         """Closure must reduce the aligned ATE of keyframe centers and the
         worst-case rotation error (closure redistributes the loop error —

@@ -38,6 +38,20 @@ class TestSerialization:
         np.testing.assert_array_equal(m2.kf_point_idx, m1.kf_point_idx)
         np.testing.assert_array_equal(m2.cov_weight, m1.cov_weight)
 
+    def test_loop_edges_roundtrip(self, tmp_path):
+        from orb_slam2_commit_tpu.models.map_state import MapState
+        from orb_slam2_commit_tpu.utils.config import MapConfig
+
+        m = MapState.create(MapConfig(max_keyframes=8, max_points=64), 4)
+        m.add_loop_edge(3, 1)
+        m.add_loop_edge(1, 3)      # dedup, order-normalized
+        path = str(tmp_path / "m.npz")
+        serialization.save_map(m, path)
+        m2 = serialization.load_map(path)
+        assert m2.loop_edges == [(1, 3)]
+        assert m2.has_loop_edge(3) and m2.has_loop_edge(1)
+        assert not m2.has_loop_edge(0)
+
     def test_localization_only_session(self, mapped_session):
         """A fresh System loads the map and localizes (pure localization
         mode — the reference's ActivateLocalizationMode use case)."""

@@ -52,6 +52,35 @@ class TestViewer:
         assert out.shape == (512, 512, 3)
         assert out.sum() > 0
 
+    def test_topdown_graph_loop_edges_and_follow(self):
+        m = MapState.create(MapConfig(max_keyframes=8, max_points=256), 20)
+        ids = m.add_points(
+            np.random.default_rng(2).uniform(-3, 3, (40, 3)), first_kf=0
+        )
+        pi = np.full(20, -1, np.int32)
+        pi[:20] = ids[:20]
+        for k in range(3):
+            t = np.array([0.5 * k, 0.0, 0.0])
+            m.add_keyframe(
+                np.eye(3), t, np.zeros((20, 2)),
+                np.zeros(20, np.int32), np.zeros(20, np.float32),
+                np.zeros((20, 8), np.uint32), np.ones(20, bool), pi, k,
+                float(k),
+            )
+        m.add_loop_edge(0, 2)
+        out = viewer.draw_map_topdown(m, (np.eye(3), np.zeros(3)))
+        # Loop edge leaves red-dominant pixels.
+        red = (out[..., 0] > 200) & (out[..., 1] < 100)
+        assert red.any()
+        # Spanning-tree pass leaves its dark-green color somewhere.
+        tree = (out[..., 1] == 140)
+        assert tree.any()
+        follow = viewer.draw_map_topdown(
+            m, (np.eye(3), np.asarray([-2.0, 0.0, 0.0])), follow=True
+        )
+        assert follow.shape == out.shape
+        assert not np.array_equal(follow, out)
+
     def test_metrics(self):
         from orb_slam2_commit_tpu.slam.tracking import Tracker
         from orb_slam2_commit_tpu.utils.config import synthetic_config
