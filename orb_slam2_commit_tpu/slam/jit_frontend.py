@@ -119,36 +119,20 @@ class FusedMotionResult(NamedTuple):
     octave: jnp.ndarray
     desc: jnp.ndarray
     valid: jnp.ndarray
+    depth: jnp.ndarray      # [N] stereo depth (-1 mono / no match)
+    ur: jnp.ndarray         # [N] right-image u (-1 mono / no match)
 
 
-def fused_motion_track(
-    image: jnp.ndarray,
-    pt_pos: jnp.ndarray,        # [M, 3] last frame's bound points (world)
-    pt_desc: jnp.ndarray,       # [M, 8]
-    pt_octave: jnp.ndarray,     # [M]
-    pt_angle: jnp.ndarray,      # [M]
-    pt_valid: jnp.ndarray,      # [M]
-    R_pred: jnp.ndarray,
-    t_pred: jnp.ndarray,
-    config: SLAMConfig,
-) -> FusedMotionResult:
-    """The WHOLE motion-model tracking stage as one graph: extraction,
-    undistortion, projective matching with the reference's widen-on-failure
-    retry (src/Tracking.cc:1090-1092: fewer than 20 matches -> search again
-    at twice the radius), match inversion and pose-only BA.
-
-    The host pipeline's staged path (slam/tracking.py
-    _track_with_motion_model) runs the same jitted pieces one dispatch at
-    a time with host round-trips between them; on a remote TPU those
-    round-trips dominate the frame budget, so System routes monocular
-    OK-state frames through this instead (same math, same thresholds).
-    """
-    from orb_slam2_commit_tpu.ops import camera as cam_ops
-
+def _fused_match_and_pose(
+    feats, xy_und, ur, pt_pos, pt_desc, pt_octave, pt_angle, pt_valid,
+    R_pred, t_pred, config: SLAMConfig,
+):
+    """Shared tail of the fused motion-tracking graphs: projective match
+    against the last frame's points with the widen-on-failure retry
+    (src/Tracking.cc:1090-1092), match inversion, pose-only BA (stereo
+    observations use the (u, v, ur) residual when ur >= 0, mirroring the
+    mixed mono/stereo edges of src/Optimizer.cc:330-435)."""
     cam = config.camera
-    feats = ext.extract_features(image, config.orb, cam.height, cam.width)
-    xy_und = cam_ops.undistort_pixels(feats.xy, cam)
-
     th0 = float(config.tracker.search_radius_motion)
 
     def run_match(th):
@@ -183,17 +167,57 @@ def fused_motion_track(
 
     sigma2 = jnp.asarray(config.orb.level_sigma2())
     inv_sigma2 = 1.0 / sigma2[jnp.clip(feats.octave, 0, config.orb.n_levels - 1)]
+    has_ur = ur >= 0
     obs = BAObservations(
         cam_idx=jnp.zeros(n_feat, jnp.int32),
         pt_idx=jnp.arange(n_feat, dtype=jnp.int32),
-        uvr=jnp.concatenate([xy_und, jnp.zeros((n_feat, 1))], axis=1),
+        uvr=jnp.concatenate(
+            [xy_und, jnp.where(has_ur, ur, 0.0)[:, None]], axis=1
+        ),
         inv_sigma2=inv_sigma2,
-        is_stereo=jnp.zeros(n_feat, bool),
+        is_stereo=has_ur & bound,
         valid=bound & feats.valid,
     )
     res = pose_opt.pose_optimization(
         R_pred, t_pred, pts_per_feat, obs,
         cam.fx, cam.fy, cam.cx, cam.cy, cam.bf,
+    )
+    return res, binding, n_matches
+
+
+def fused_motion_track(
+    image: jnp.ndarray,
+    pt_pos: jnp.ndarray,        # [M, 3] last frame's bound points (world)
+    pt_desc: jnp.ndarray,       # [M, 8]
+    pt_octave: jnp.ndarray,     # [M]
+    pt_angle: jnp.ndarray,      # [M]
+    pt_valid: jnp.ndarray,      # [M]
+    R_pred: jnp.ndarray,
+    t_pred: jnp.ndarray,
+    config: SLAMConfig,
+) -> FusedMotionResult:
+    """The WHOLE motion-model tracking stage as one graph: extraction,
+    undistortion, projective matching with the reference's widen-on-failure
+    retry (src/Tracking.cc:1090-1092: fewer than 20 matches -> search again
+    at twice the radius), match inversion and pose-only BA.
+
+    The host pipeline's staged path (slam/tracking.py
+    _track_with_motion_model) runs the same jitted pieces one dispatch at
+    a time with host round-trips between them; on a remote TPU those
+    round-trips dominate the frame budget, so System routes monocular
+    OK-state frames through this instead (same math, same thresholds).
+    """
+    from orb_slam2_commit_tpu.ops import camera as cam_ops
+
+    cam = config.camera
+    feats = ext.extract_features(image, config.orb, cam.height, cam.width)
+    xy_und = cam_ops.undistort_pixels(feats.xy, cam)
+    n_feat = feats.xy.shape[0]
+    no_ur = jnp.full((n_feat,), -1.0, xy_und.dtype)
+
+    res, binding, n_matches = _fused_match_and_pose(
+        feats, xy_und, no_ur, pt_pos, pt_desc, pt_octave, pt_angle,
+        pt_valid, R_pred, t_pred, config,
     )
     return FusedMotionResult(
         R=res.R,
@@ -209,6 +233,8 @@ def fused_motion_track(
         octave=feats.octave,
         desc=feats.desc,
         valid=feats.valid,
+        depth=no_ur,
+        ur=no_ur,
     )
 
 
@@ -219,5 +245,135 @@ def fused_motion_track_jit(
 ):
     return fused_motion_track(
         image, pt_pos, pt_desc, pt_octave, pt_angle, pt_valid,
+        R_pred, t_pred, config
+    )
+
+
+def fused_stereo_motion_track(
+    image_l: jnp.ndarray,
+    image_r: jnp.ndarray,
+    pt_pos: jnp.ndarray,
+    pt_desc: jnp.ndarray,
+    pt_octave: jnp.ndarray,
+    pt_angle: jnp.ndarray,
+    pt_valid: jnp.ndarray,
+    R_pred: jnp.ndarray,
+    t_pred: jnp.ndarray,
+    config: SLAMConfig,
+) -> FusedMotionResult:
+    """Stereo counterpart of fused_motion_track: BOTH extractions, the
+    epipolar stereo matcher (ops/stereo.stereo_frontend — the reference's
+    dual extraction threads P5 + ComputeStereoMatches live in one XLA
+    program here), projective last-frame matching and mixed mono/stereo
+    pose BA, all as one device dispatch."""
+    from orb_slam2_commit_tpu.ops import camera as cam_ops
+    from orb_slam2_commit_tpu.ops import stereo as stereo_ops
+
+    cam = config.camera
+    feats, _, smatch = stereo_ops.stereo_frontend(
+        image_l, image_r, config.orb, cam.height, cam.width,
+        cam.bf, cam.baseline,
+    )
+    xy_und = cam_ops.undistort_pixels(feats.xy, cam)
+    ur = jnp.where(smatch.valid, smatch.u_right, -1.0).astype(xy_und.dtype)
+
+    res, binding, n_matches = _fused_match_and_pose(
+        feats, xy_und, ur, pt_pos, pt_desc, pt_octave, pt_angle,
+        pt_valid, R_pred, t_pred, config,
+    )
+    return FusedMotionResult(
+        R=res.R,
+        t=res.t,
+        n_matches=n_matches,
+        n_inliers=res.n_inliers,
+        binding=binding,
+        inliers=res.inliers,
+        xy_und=xy_und,
+        xy_raw=feats.xy,
+        response=feats.response,
+        angle=feats.angle,
+        octave=feats.octave,
+        desc=feats.desc,
+        valid=feats.valid,
+        depth=jnp.where(smatch.valid, smatch.depth, -1.0),
+        ur=ur,
+    )
+
+
+def fused_rgbd_motion_track(
+    image: jnp.ndarray,
+    depth_image: jnp.ndarray,   # [H, W] float32 raw depth map
+    pt_pos: jnp.ndarray,
+    pt_desc: jnp.ndarray,
+    pt_octave: jnp.ndarray,
+    pt_angle: jnp.ndarray,
+    pt_valid: jnp.ndarray,
+    R_pred: jnp.ndarray,
+    t_pred: jnp.ndarray,
+    config: SLAMConfig,
+) -> FusedMotionResult:
+    """RGB-D counterpart of fused_motion_track: the per-keypoint depth
+    lookup and virtual right-coordinate synthesis (ur = u - bf/z,
+    reference Frame::ComputeStereoFromRGBD, src/Frame.cc:791-816) run
+    in-graph, so the depth map uploads once and the whole frame is one
+    dispatch."""
+    from orb_slam2_commit_tpu.ops import camera as cam_ops
+
+    cam = config.camera
+    feats = ext.extract_features(image, config.orb, cam.height, cam.width)
+    xy_und = cam_ops.undistort_pixels(feats.xy, cam)
+
+    # Nearest-pixel depth at the RAW keypoint location (same as the host
+    # path in slam/frame.make_frame).
+    u = jnp.clip(jnp.round(feats.xy[:, 0]), 0, cam.width - 1).astype(jnp.int32)
+    v = jnp.clip(jnp.round(feats.xy[:, 1]), 0, cam.height - 1).astype(jnp.int32)
+    d = depth_image[v, u].astype(xy_und.dtype)
+    if cam.depth_map_factor not in (0.0, 1.0):
+        d = d / cam.depth_map_factor
+    has = d > 0
+    depth = jnp.where(has, d, -1.0)
+    ur = jnp.where(has, xy_und[:, 0] - cam.bf / jnp.where(has, d, 1.0), -1.0)
+
+    res, binding, n_matches = _fused_match_and_pose(
+        feats, xy_und, ur, pt_pos, pt_desc, pt_octave, pt_angle,
+        pt_valid, R_pred, t_pred, config,
+    )
+    return FusedMotionResult(
+        R=res.R,
+        t=res.t,
+        n_matches=n_matches,
+        n_inliers=res.n_inliers,
+        binding=binding,
+        inliers=res.inliers,
+        xy_und=xy_und,
+        xy_raw=feats.xy,
+        response=feats.response,
+        angle=feats.angle,
+        octave=feats.octave,
+        desc=feats.desc,
+        valid=feats.valid,
+        depth=depth,
+        ur=ur,
+    )
+
+
+@functools.partial(jax.jit, static_argnames=("config",))
+def fused_rgbd_motion_track_jit(
+    image, depth_image, pt_pos, pt_desc, pt_octave, pt_angle, pt_valid,
+    R_pred, t_pred, config: SLAMConfig,
+):
+    return fused_rgbd_motion_track(
+        image, depth_image, pt_pos, pt_desc, pt_octave, pt_angle, pt_valid,
+        R_pred, t_pred, config
+    )
+
+
+@functools.partial(jax.jit, static_argnames=("config",))
+def fused_stereo_motion_track_jit(
+    image_l, image_r, pt_pos, pt_desc, pt_octave, pt_angle, pt_valid,
+    R_pred, t_pred, config: SLAMConfig,
+):
+    return fused_stereo_motion_track(
+        image_l, image_r, pt_pos, pt_desc, pt_octave, pt_angle, pt_valid,
         R_pred, t_pred, config
     )

@@ -133,6 +133,18 @@ class System:
         self, image_left: np.ndarray, image_right: np.ndarray, timestamp: float
     ) -> Optional[Tuple[np.ndarray, np.ndarray]]:
         assert self.config.sensor == "stereo"
+        if self._use_fused_track() and self.tracker.can_fuse_motion():
+            # One device dispatch: L/R extraction + stereo depth +
+            # projective matching + mixed mono/stereo pose BA
+            # (slam/jit_frontend.fused_stereo_motion_track).
+            with self.profiler.timed("fused_frontend"):
+                frame, motion_ok = self.tracker.fused_motion_frame(
+                    image_left, self.frame_count, timestamp,
+                    image_right=image_right,
+                )
+            self.frame_count += 1
+            with self.profiler.timed("track"):
+                return self._track_frame(frame, motion_ok=motion_ok)
         frame = make_stereo_frame(
             image_left, image_right, self.frame_count, timestamp, self.config
         )
@@ -148,11 +160,13 @@ class System:
         cfg = self.init_config if use_init else self.config
         if self._use_fused_track() and self.tracker.can_fuse_motion():
             # One device dispatch for extract + match + pose BA
-            # (slam/jit_frontend.fused_motion_track); the Frame is built
-            # from its outputs and the staged motion stage is skipped.
+            # (slam/jit_frontend.fused_motion_track; the RGB-D variant
+            # also gathers per-keypoint depth in-graph); the Frame is
+            # built from its outputs, the staged motion stage skipped.
             with self.profiler.timed("fused_frontend"):
                 frame, motion_ok = self.tracker.fused_motion_frame(
-                    image, self.frame_count, timestamp
+                    image, self.frame_count, timestamp,
+                    depth_image=depth_image,
                 )
             self.frame_count += 1
             with self.profiler.timed("track"):

@@ -262,18 +262,26 @@ class Tracker:
             self.state == TrackingState.OK
             and self.velocity is not None
             and self.last_frame is not None
-            and self.config.sensor == "monocular"
+            and self.config.sensor in ("monocular", "stereo", "rgbd")
+            # Localization mode goes through the staged path: it spawns
+            # temporal VO points before matching and drives the mbVO
+            # ladder (src/Tracking.cc:396-447), which the fused graph
+            # does not model.
+            and not self.localization_only
             and int((self.last_frame.point_ids >= 0).sum()) >= 10
         )
 
     def fused_motion_frame(
-        self, image, frame_id: int, timestamp: float
+        self, image, frame_id: int, timestamp: float,
+        image_right=None, depth_image=None,
     ) -> Tuple[Frame, bool]:
         """Run extraction + motion-model matching + pose BA as ONE device
         dispatch and build the host Frame from its outputs. Returns
         (frame, motion_ok); pass motion_ok into track() so the staged
         motion stage is skipped. Must only be called when
-        can_fuse_motion()."""
+        can_fuse_motion(). With image_right, the stereo graph (both
+        extractions + epipolar depth + mixed mono/stereo pose BA) runs
+        instead."""
         from orb_slam2_commit_tpu.slam import jit_frontend
 
         last = self.last_frame
@@ -285,15 +293,28 @@ class Tracker:
         pt_pos = self.map.pt_pos[pt_ids]
         pt_ok = bound & self.map.pt_valid[pt_ids]
 
-        res = jit_frontend.fused_motion_track_jit(
-            jnp.asarray(image, jnp.float32),
+        pt_args = (
             jnp.asarray(pt_pos), jnp.asarray(last.desc),
             jnp.asarray(last.octave), jnp.asarray(last.angle),
             jnp.asarray(pt_ok),
             jnp.asarray(R_pred), jnp.asarray(t_pred),
-            self.config,
         )
-        n = res.xy_und.shape[0]
+        if image_right is not None:
+            res = jit_frontend.fused_stereo_motion_track_jit(
+                jnp.asarray(image, jnp.float32),
+                jnp.asarray(image_right, jnp.float32),
+                *pt_args, self.config,
+            )
+        elif depth_image is not None:
+            res = jit_frontend.fused_rgbd_motion_track_jit(
+                jnp.asarray(image, jnp.float32),
+                jnp.asarray(depth_image, jnp.float32),
+                *pt_args, self.config,
+            )
+        else:
+            res = jit_frontend.fused_motion_track_jit(
+                jnp.asarray(image, jnp.float32), *pt_args, self.config,
+            )
         frame = Frame(
             frame_id=frame_id,
             timestamp=timestamp,
@@ -304,8 +325,8 @@ class Tracker:
             response=np.asarray(res.response),
             desc=np.asarray(res.desc),
             valid=np.asarray(res.valid),
-            depth=np.full(n, -1.0, np.float32),
-            ur=np.full(n, -1.0, np.float32),
+            depth=np.asarray(res.depth, np.float32),
+            ur=np.asarray(res.ur, np.float32),
         )
         n_matches = int(res.n_matches)
         n_in = int(res.n_inliers)
@@ -730,6 +751,11 @@ class Tracker:
         if self.state == TrackingState.OK:
             if motion_ok is not None:
                 ok = motion_ok
+                if not ok:
+                    # Same ladder as the staged path (reference
+                    # src/Tracking.cc:359-368): a failed motion stage falls
+                    # back to BoW tracking against the reference keyframe.
+                    ok = self._track_reference_keyframe(frame)
             elif self.localization_only and self.vo_only:
                 # Visual-odometry mode: ride the motion model on temporal
                 # points AND attempt relocalization; a successful reloc
