@@ -125,7 +125,7 @@ class FusedMotionResult(NamedTuple):
 
 def _fused_match_and_pose(
     feats, xy_und, ur, pt_pos, pt_desc, pt_octave, pt_angle, pt_valid,
-    R_pred, t_pred, config: SLAMConfig,
+    R_pred, t_pred, config: SLAMConfig, tz_rel=0.0,
 ):
     """Shared tail of the fused motion-tracking graphs: projective match
     against the last frame's points with the widen-on-failure retry
@@ -143,6 +143,9 @@ def _fused_match_and_pose(
             cam.fx, cam.fy, cam.cx, cam.cy,
             float(cam.width), float(cam.height),
             th=th,
+            tz_rel=tz_rel,
+            mono=config.sensor == "monocular",
+            baseline=float(cam.baseline),
         )
         return m.idx
 
@@ -259,6 +262,7 @@ def fused_stereo_motion_track(
     pt_valid: jnp.ndarray,
     R_pred: jnp.ndarray,
     t_pred: jnp.ndarray,
+    tz_rel: jnp.ndarray,
     config: SLAMConfig,
 ) -> FusedMotionResult:
     """Stereo counterpart of fused_motion_track: BOTH extractions, the
@@ -279,7 +283,7 @@ def fused_stereo_motion_track(
 
     res, binding, n_matches = _fused_match_and_pose(
         feats, xy_und, ur, pt_pos, pt_desc, pt_octave, pt_angle,
-        pt_valid, R_pred, t_pred, config,
+        pt_valid, R_pred, t_pred, config, tz_rel=tz_rel,
     )
     return FusedMotionResult(
         R=res.R,
@@ -310,6 +314,7 @@ def fused_rgbd_motion_track(
     pt_valid: jnp.ndarray,
     R_pred: jnp.ndarray,
     t_pred: jnp.ndarray,
+    tz_rel: jnp.ndarray,
     config: SLAMConfig,
 ) -> FusedMotionResult:
     """RGB-D counterpart of fused_motion_track: the per-keypoint depth
@@ -336,7 +341,7 @@ def fused_rgbd_motion_track(
 
     res, binding, n_matches = _fused_match_and_pose(
         feats, xy_und, ur, pt_pos, pt_desc, pt_octave, pt_angle,
-        pt_valid, R_pred, t_pred, config,
+        pt_valid, R_pred, t_pred, config, tz_rel=tz_rel,
     )
     return FusedMotionResult(
         R=res.R,
@@ -360,20 +365,20 @@ def fused_rgbd_motion_track(
 @functools.partial(jax.jit, static_argnames=("config",))
 def fused_rgbd_motion_track_jit(
     image, depth_image, pt_pos, pt_desc, pt_octave, pt_angle, pt_valid,
-    R_pred, t_pred, config: SLAMConfig,
+    R_pred, t_pred, tz_rel, config: SLAMConfig,
 ):
     return fused_rgbd_motion_track(
         image, depth_image, pt_pos, pt_desc, pt_octave, pt_angle, pt_valid,
-        R_pred, t_pred, config
+        R_pred, t_pred, tz_rel, config
     )
 
 
 @functools.partial(jax.jit, static_argnames=("config",))
 def fused_stereo_motion_track_jit(
     image_l, image_r, pt_pos, pt_desc, pt_octave, pt_angle, pt_valid,
-    R_pred, t_pred, config: SLAMConfig,
+    R_pred, t_pred, tz_rel, config: SLAMConfig,
 ):
     return fused_stereo_motion_track(
         image_l, image_r, pt_pos, pt_desc, pt_octave, pt_angle, pt_valid,
-        R_pred, t_pred, config
+        R_pred, t_pred, tz_rel, config
     )

@@ -88,7 +88,7 @@ def match_for_initialization(
     return matching.resolve_duplicate_targets(m, desc2.shape[0])
 
 
-@functools.partial(jax.jit, static_argnames=("th",))
+@functools.partial(jax.jit, static_argnames=("th", "mono", "baseline"))
 def match_projection_last_frame(
     # Last frame's bound points (world) + feature attributes:
     pt_pos: jnp.ndarray,       # [M, 3]
@@ -103,13 +103,20 @@ def match_projection_last_frame(
     fx: float, fy: float, cx: float, cy: float,
     width: float, height: float,
     th: float = 15.0,
+    tz_rel=0.0,                # z of the current camera center in the LAST
+                               # frame's coords (tlc.z, only used if !mono)
+    mono: bool = True,
+    baseline: float = 0.0,
 ) -> MatchResult:
     """Motion-model tracking: project last frame's map points with the
     predicted pose and search a window scaled by the source octave.
 
     Oracle: SearchByProjection(Frame&, const Frame&, th, bMono)
     (src/ORBmatcher.cc:1489-1646): radius = th * sigma(octave), candidate
-    octaves [oct-1, oct+1] (mono), TH_HIGH, rotation histogram.
+    octaves [oct-1, oct+1] for mono; for stereo/RGB-D the forward/backward
+    rule (:1522-1529, :1555-1570): camera moved forward by more than the
+    baseline -> features appear coarser, search octave >= last octave;
+    moved backward -> octave <= last.
     """
     sigmas = _scale_sigmas()
     pc = jnp.einsum("ij,mj->mi", R, pt_pos) + t
@@ -120,9 +127,19 @@ def match_projection_last_frame(
     proj = jnp.stack([u, v], axis=-1)
     in_img = (z > 0) & (u >= 0) & (u < width) & (v >= 0) & (v < height)
 
+    if mono:
+        oct_lo, oct_hi = pt_octave - 1, pt_octave + 1
+    else:
+        fwd = jnp.asarray(tz_rel) > baseline
+        bwd = -jnp.asarray(tz_rel) > baseline
+        oct_lo = jnp.where(fwd, pt_octave,
+                           jnp.where(bwd, -127, pt_octave - 1))
+        oct_hi = jnp.where(fwd, 127,
+                           jnp.where(bwd, pt_octave, pt_octave + 1))
+
     radius = th * sigmas[jnp.clip(pt_octave, 0, sigmas.shape[0] - 1)]
     m = _projection_match(
-        pt_desc, proj, radius, pt_octave - 1, pt_octave + 1,
+        pt_desc, proj, radius, oct_lo, oct_hi,
         pt_valid & in_img, xy, desc, octave, valid, TH_HIGH,
     )
     m = matching.rotation_consistency_filter(m, pt_angle, angle)

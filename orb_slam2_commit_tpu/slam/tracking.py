@@ -299,17 +299,21 @@ class Tracker:
             jnp.asarray(pt_ok),
             jnp.asarray(R_pred), jnp.asarray(t_pred),
         )
+        # z of the predicted camera center in the LAST frame's coords —
+        # drives the stereo/RGB-D forward/backward octave rule
+        # (src/ORBmatcher.cc:1522-1529).
+        tz_rel = self._tz_rel(last, R_pred, t_pred)
         if image_right is not None:
             res = jit_frontend.fused_stereo_motion_track_jit(
                 jnp.asarray(image, jnp.float32),
                 jnp.asarray(image_right, jnp.float32),
-                *pt_args, self.config,
+                *pt_args, jnp.asarray(tz_rel), self.config,
             )
         elif depth_image is not None:
             res = jit_frontend.fused_rgbd_motion_track_jit(
                 jnp.asarray(image, jnp.float32),
                 jnp.asarray(depth_image, jnp.float32),
-                *pt_args, self.config,
+                *pt_args, jnp.asarray(tz_rel), self.config,
             )
         else:
             res = jit_frontend.fused_motion_track_jit(
@@ -395,6 +399,13 @@ class Tracker:
         if hi == self.map.next_pt - 1 and ids.size == self.map.next_pt - lo:
             self.map.next_pt = lo
 
+    @staticmethod
+    def _tz_rel(last: Frame, R_pred: np.ndarray, t_pred: np.ndarray) -> float:
+        """z of the predicted camera center expressed in the last frame's
+        camera coords (reference tlc.z, src/ORBmatcher.cc:1502-1507)."""
+        c_pred = -np.asarray(R_pred).T @ np.asarray(t_pred)
+        return float((last.R @ c_pred + last.t)[2])
+
     def _track_with_motion_model(self, frame: Frame) -> bool:
         """Oracle: Tracking::TrackWithMotionModel (src/Tracking.cc:1049-1135)."""
         if self.velocity is None or self.last_frame is None:
@@ -412,6 +423,7 @@ class Tracker:
         pt_pos = self.map.pt_pos[pt_ids]
         pt_ok = bound & self.map.pt_valid[pt_ids]
 
+        tz_rel = self._tz_rel(last, R_pred, t_pred)
         for th in (self.config.tracker.search_radius_motion,
                    2 * self.config.tracker.search_radius_motion):
             m = matchers.match_projection_last_frame(
@@ -424,6 +436,9 @@ class Tracker:
                 jnp.asarray(frame.valid),
                 cam.fx, cam.fy, cam.cx, cam.cy,
                 float(cam.width), float(cam.height), th=float(th),
+                tz_rel=jnp.asarray(tz_rel),
+                mono=self.config.sensor == "monocular",
+                baseline=float(cam.baseline),
             )
             idx = np.asarray(m.idx)
             n_matches = int((idx >= 0).sum())

@@ -150,3 +150,49 @@ class TestMasks:
         sigma2 = jnp.ones(2)
         m = np.asarray(matching.epipolar_mask(a, b, F, sigma2))
         assert m[0, 0] and not m[0, 1]
+
+
+class TestForwardBackwardOctaveRule:
+    """Stereo/RGB-D last-frame matching restricts candidate octaves by
+    camera advance (reference src/ORBmatcher.cc:1522-1529,1555-1570)."""
+
+    def _match(self, feat_octave, tz_rel, mono):
+        from orb_slam2_commit_tpu.slam import matchers
+
+        rng = np.random.default_rng(3)
+        desc = rand_desc(rng, 1)
+        fx = fy = 100.0
+        cx, cy = 80.0, 60.0
+        pt_pos = np.array([[0.0, 0.0, 5.0]])
+        m = matchers.match_projection_last_frame(
+            jnp.asarray(pt_pos), jnp.asarray(desc),
+            jnp.asarray([2], jnp.int32), jnp.zeros(1, jnp.float32),
+            jnp.ones(1, bool),
+            jnp.eye(3), jnp.zeros(3),
+            jnp.asarray([[cx, cy]]), jnp.asarray(desc),
+            jnp.zeros(1, jnp.float32),
+            jnp.asarray([feat_octave], jnp.int32), jnp.ones(1, bool),
+            fx, fy, cx, cy, 160.0, 120.0, th=15.0,
+            tz_rel=jnp.asarray(tz_rel), mono=mono, baseline=0.1,
+        )
+        return int(m.idx[0]) >= 0
+
+    def test_mono_band(self):
+        assert self._match(1, 0.0, mono=True)
+        assert self._match(3, 0.0, mono=True)
+        assert not self._match(4, 0.0, mono=True)
+
+    def test_forward_search_coarser(self):
+        assert self._match(2, 1.0, mono=False)
+        assert self._match(5, 1.0, mono=False)     # any coarser level
+        assert not self._match(1, 1.0, mono=False)  # finer excluded
+
+    def test_backward_search_finer(self):
+        assert self._match(2, -1.0, mono=False)
+        assert self._match(0, -1.0, mono=False)
+        assert not self._match(3, -1.0, mono=False)
+
+    def test_small_motion_keeps_band(self):
+        assert self._match(1, 0.05, mono=False)
+        assert self._match(3, 0.05, mono=False)
+        assert not self._match(4, 0.05, mono=False)
