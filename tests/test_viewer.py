@@ -59,14 +59,18 @@ class TestViewer:
         )
         pi = np.full(20, -1, np.int32)
         pi[:20] = ids[:20]
-        for k in range(3):
-            t = np.array([0.5 * k, 0.0, 0.0])
+        # Non-colinear camera centers (top-down is x-z) so covisibility,
+        # spanning-tree and loop edges draw on distinct pixel runs.
+        for k, c in enumerate([(0.0, 0.0), (2.0, 0.0), (1.0, 2.0)]):
+            t = -np.array([c[0], 0.0, c[1]])        # R = I -> t = -c
             m.add_keyframe(
                 np.eye(3), t, np.zeros((20, 2)),
                 np.zeros(20, np.int32), np.zeros(20, np.float32),
                 np.zeros((20, 8), np.uint32), np.ones(20, bool), pi, k,
                 float(k),
             )
+        m.kf_parent[1] = 0
+        m.kf_parent[2] = 1
         m.add_loop_edge(0, 2)
         out = viewer.draw_map_topdown(m, (np.eye(3), np.zeros(3)))
         # Loop edge leaves red-dominant pixels.
