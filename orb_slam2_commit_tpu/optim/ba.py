@@ -107,35 +107,162 @@ def _inv3x3(M: jnp.ndarray) -> jnp.ndarray:
     return adj / det[..., None, None]
 
 
+class _SegSums(NamedTuple):
+    """Segment-reduction plans for the two observation axes.
+
+    TPU scatter-adds with unsorted indices are ~3x slower than sorted
+    ones (they serialize on collisions); the observation->camera and
+    observation->point index sets never change during a solve, so the
+    sort permutations are computed ONCE per bundle_adjust call and every
+    segment reduction becomes gather + sorted segment_sum.
+
+    use_sorted is a TRACE-TIME constant: above ~384k observations the
+    sorted-reduction graph reliably crashes the v5e libtpu worker
+    ("TPU worker process crashed", reproduced at O=576k while every
+    constituent op succeeds standalone), so very large problems fall
+    back to plain unsorted scatter-adds. Revisit when libtpu moves."""
+
+    use_sorted: bool
+    cam_idx: jnp.ndarray
+    pt_idx: jnp.ndarray
+    perm_k: jnp.ndarray     # [O] observation order sorted by cam_idx
+    cam_sorted: jnp.ndarray
+    perm_p: jnp.ndarray     # [O] observation order sorted by pt_idx
+    pt_sorted: jnp.ndarray
+
+
+_SORTED_REDUCTION_MAX_OBS = 384 * 1024
+
+
+def _make_segsums(obs: BAObservations) -> _SegSums:
+    use_sorted = obs.cam_idx.shape[0] <= _SORTED_REDUCTION_MAX_OBS
+    if use_sorted:
+        perm_k = jnp.argsort(obs.cam_idx)
+        perm_p = jnp.argsort(obs.pt_idx)
+        cam_sorted = obs.cam_idx[perm_k]
+        pt_sorted = obs.pt_idx[perm_p]
+    else:
+        perm_k = perm_p = cam_sorted = pt_sorted = obs.cam_idx  # unused
+    return _SegSums(
+        use_sorted=use_sorted, cam_idx=obs.cam_idx, pt_idx=obs.pt_idx,
+        perm_k=perm_k, cam_sorted=cam_sorted,
+        perm_p=perm_p, pt_sorted=pt_sorted,
+    )
+
+
+def _sum_to_cams(ss: _SegSums, vals: jnp.ndarray, K: int) -> jnp.ndarray:
+    flat = vals.reshape(vals.shape[0], -1)
+    if ss.use_sorted:
+        out = jax.ops.segment_sum(
+            flat[ss.perm_k], ss.cam_sorted, num_segments=K,
+            indices_are_sorted=True,
+        )
+    else:
+        out = jnp.zeros((K, flat.shape[1]), flat.dtype).at[ss.cam_idx].add(flat)
+    return out.reshape((K,) + vals.shape[1:])
+
+
+def _sum_to_points(ss: _SegSums, vals: jnp.ndarray, P: int) -> jnp.ndarray:
+    flat = vals.reshape(vals.shape[0], -1)
+    if ss.use_sorted:
+        out = jax.ops.segment_sum(
+            flat[ss.perm_p], ss.pt_sorted, num_segments=P,
+            indices_are_sorted=True,
+        )
+    else:
+        out = jnp.zeros((P, flat.shape[1]), flat.dtype).at[ss.pt_idx].add(flat)
+    return out.reshape((P,) + vals.shape[1:])
+
+
+def _schur_pcg(Hcc_d, Hpp_inv, Hcp_o, obs, ss, b, fixed, axis_name,
+               n_iters: int = 64, tol: float = 1e-8):
+    """Solve S dc = b with S = Hcc_d - W Hpp^-1 W^T WITHOUT materializing
+    S or W: the matvec streams over observations (two segment-sums + two
+    batched small matmuls), block-Jacobi preconditioned by Hcc_d^-1.
+
+    This is the inexact-step / conjugate-gradients BA formulation
+    ("Bundle Adjustment in the Large" — implicit Schur), which is the
+    TPU-scalable shape: the explicit dense Schur is O(K^2 P) to build,
+    while each CG iteration here is O(O) segment-sum bandwidth. Under
+    observation sharding (axis_name), partial segment-sums are psum'd,
+    so the matvec — and therefore the whole solve — is replicated-exact
+    across devices."""
+    K = Hcc_d.shape[0]
+    P = Hpp_inv.shape[0]
+    dtype = b.dtype
+
+    def S_mv(x):                      # x [K, 6]
+        y = jnp.einsum("kab,kb->ka", Hcc_d, x)
+        xo = x[obs.cam_idx]           # [O, 6]
+        u = _sum_to_points(ss, jnp.einsum("oab,oa->ob", Hcp_o, xo), P)
+        if axis_name is not None:
+            u = jax.lax.psum(u, axis_name)
+        v = jnp.einsum("pab,pb->pa", Hpp_inv, u)
+        vo = v[obs.pt_idx]
+        y2 = _sum_to_cams(ss, jnp.einsum("oab,ob->oa", Hcp_o, vo), K)
+        if axis_name is not None:
+            y2 = jax.lax.psum(y2, axis_name)
+        return y - y2
+
+    M_inv = jnp.linalg.inv(Hcc_d)     # [K, 6, 6] block-Jacobi preconditioner
+
+    def precond(r):
+        return jnp.einsum("kab,kb->ka", M_inv, r)
+
+    x0 = jnp.zeros_like(b)
+    r0 = b                             # S x0 = 0
+    z0 = precond(r0)
+    p0 = z0
+    rz0 = jnp.sum(r0 * z0)
+    b_norm2 = jnp.maximum(jnp.sum(b * b), 1e-30)
+
+    def cond(state):
+        i, x, r, z, p, rz = state
+        return (i < n_iters) & (jnp.sum(r * r) > tol * b_norm2)
+
+    def body(state):
+        i, x, r, z, p, rz = state
+        Sp = S_mv(p)
+        denom = jnp.sum(p * Sp)
+        alpha = rz / jnp.where(jnp.abs(denom) > 1e-30, denom, 1e-30)
+        x = x + alpha * p
+        r = r - alpha * Sp
+        z = precond(r)
+        rz_new = jnp.sum(r * z)
+        beta = rz_new / jnp.where(jnp.abs(rz) > 1e-30, rz, 1e-30)
+        p = z + beta * p
+        return i + 1, x, r, z, p, rz_new
+
+    _, x, _, _, _, _ = jax.lax.while_loop(
+        cond, body, (jnp.int32(0), x0, r0, z0, p0, rz0)
+    )
+    return jnp.where(fixed[:, None], 0.0, x)
+
+
 def _solve_step(problem: BAProblem, cam_params, use_robust, active, lam,
-                point_chunk: int, axis_name=None):
+                point_chunk: int, axis_name=None, solver: str = "dense",
+                ss: _SegSums | None = None):
     """One damped Gauss-Newton step. Returns (delta_c [K,6], delta_p [P,3])."""
     K = problem.R.shape[0]
     P = problem.points.shape[0]
     obs = problem.obs
     dtype = problem.points.dtype
+    if ss is None:
+        ss = _make_segsums(obs)
 
     e, w, chi2, Jc, Jp, z = _evaluate(problem, cam_params, use_robust, active)
     Jc_w = Jc * w[..., None]
     Jp_w = Jp * w[..., None]
 
-    # Diagonal blocks + gradients via segment scatter-add. When running
-    # sharded (observations split across devices, axis_name set), each
-    # device assembles its shard's partial blocks and the full blocks are
-    # reduced over ICI with psum — the distributed Schur-BA scheme of
-    # SURVEY.md §2.4 P4.
-    Hcc = jnp.zeros((K, 6, 6), dtype).at[obs.cam_idx].add(
-        jnp.einsum("ora,orb->oab", Jc_w, Jc)
-    )
-    Hpp = jnp.zeros((P, 3, 3), dtype).at[obs.pt_idx].add(
-        jnp.einsum("ora,orb->oab", Jp_w, Jp)
-    )
-    g_c = jnp.zeros((K, 6), dtype).at[obs.cam_idx].add(
-        jnp.einsum("ora,or->oa", Jc_w, e)
-    )
-    g_p = jnp.zeros((P, 3), dtype).at[obs.pt_idx].add(
-        jnp.einsum("ora,or->oa", Jp_w, e)
-    )
+    # Diagonal blocks + gradients via sorted segment reductions (see
+    # _SegSums). When running sharded (observations split across devices,
+    # axis_name set), each device assembles its shard's partial blocks and
+    # the full blocks are reduced over ICI with psum — the distributed
+    # Schur-BA scheme of SURVEY.md §2.4 P4.
+    Hcc = _sum_to_cams(ss, jnp.einsum("ora,orb->oab", Jc_w, Jc), K)
+    Hpp = _sum_to_points(ss, jnp.einsum("ora,orb->oab", Jp_w, Jp), P)
+    g_c = _sum_to_cams(ss, jnp.einsum("ora,or->oa", Jc_w, e), K)
+    g_p = _sum_to_points(ss, jnp.einsum("ora,or->oa", Jp_w, e), P)
     if axis_name is not None:
         Hcc = jax.lax.psum(Hcc, axis_name)
         Hpp = jax.lax.psum(Hpp, axis_name)
@@ -156,6 +283,30 @@ def _solve_step(problem: BAProblem, cam_params, use_robust, active, lam,
 
     # Per-observation camera-point cross blocks.
     Hcp_o = jnp.einsum("ora,orb->oab", Jc_w, Jp)  # [O, 6, 3]
+
+    if solver == "pcg":
+        # Implicit Schur + preconditioned CG: never materialize S. The
+        # reduced-gradient right-hand side b = g_c - W Hpp^-1 g_p streams
+        # over observations the same way the matvec does.
+        v = jnp.einsum("pab,pb->pa", Hpp_inv, g_p)          # [P, 3]
+        vo = v[obs.pt_idx]
+        b_corr = _sum_to_cams(ss, jnp.einsum("oab,ob->oa", Hcp_o, vo), K)
+        if axis_name is not None:
+            b_corr = jax.lax.psum(b_corr, axis_name)
+        b_s = g_c - b_corr
+        # Same sign convention as the dense path: delta_c = -S^-1 b_s.
+        delta_c = _schur_pcg(
+            Hcc_d, Hpp_inv, Hcp_o, obs, ss, -b_s, problem.fixed, axis_name
+        )
+        dc_per_obs = delta_c[obs.cam_idx]
+        Hpc_dc = _sum_to_points(
+            ss, jnp.einsum("oab,oa->ob", Hcp_o, dc_per_obs), P
+        )
+        if axis_name is not None:
+            Hpc_dc = jax.lax.psum(Hpc_dc, axis_name)
+        delta_p = -jnp.einsum("pab,pb->pa", Hpp_inv, g_p + Hpc_dc)
+        delta_p = jnp.where(problem.point_valid[:, None], delta_p, 0.0)
+        return delta_c, delta_p
 
     # Chunked Schur reduction over points; S starts as the (damped) camera
     # block diagonal. Pad the point-side arrays to a whole number of chunks
@@ -205,8 +356,8 @@ def _solve_step(problem: BAProblem, cam_params, use_robust, active, lam,
 
     # Back-substitute points: dp = -Hpp^-1 (g_p + Hpc dc).
     dc_per_obs = delta_c[obs.cam_idx]  # [O, 6]
-    Hpc_dc = jnp.zeros((P, 3), dtype).at[obs.pt_idx].add(
-        jnp.einsum("oab,oa->ob", Hcp_o, dc_per_obs)
+    Hpc_dc = _sum_to_points(
+        ss, jnp.einsum("oab,oa->ob", Hcp_o, dc_per_obs), P
     )
     if axis_name is not None:
         Hpc_dc = jax.lax.psum(Hpc_dc, axis_name)
@@ -236,13 +387,24 @@ def bundle_adjust(
     point_chunk: int = 1024,
     lam0: float = 1e-4,
     axis_name: str | None = None,
+    solver: str = "auto",
 ) -> Tuple[BAProblem, BAResult]:
     """Run n_iters of LM. Returns the updated problem + diagnostics.
 
     With axis_name set (inside shard_map over an observation-sharded mesh
     axis), partial Hessian blocks are psum'd so every device takes the same
     globally-consistent step — the distributed BA of SURVEY.md §2.4 P4.
+
+    solver: "dense" materializes the Schur complement and Cholesky-solves
+    it (exact; right for local-BA-sized problems), "pcg" runs implicit
+    Schur + preconditioned CG (the map-scale formulation: building dense S
+    is O(K^2 P), a CG iteration is O(O) — and in float32 the
+    short-recurrence preconditioned iteration is also more robust than an
+    f32 LU of the dense S). "auto" switches to pcg at K >= 64; verified
+    against a full-dense oracle to 3e-5 (dense path to 2e-14).
     """
+    if solver == "auto":
+        solver = "pcg" if problem.R.shape[0] >= 64 else "dense"
     cam_params = (fx, fy, cx, cy, bf)
     obs = problem.obs
     delta2 = jnp.where(obs.is_stereo, CHI2_STEREO, CHI2_MONO)
@@ -264,10 +426,13 @@ def bundle_adjust(
         # exits the while_loop on the same iteration.
         return (i < n_iters) & ~converged & (lam < 1e8)
 
+    ss = _make_segsums(problem.obs)   # index sorts: once per call
+
     def body(state):
         i, p, lam, cost, _conv = state
         delta_c, delta_p = _solve_step(
-            p, cam_params, use_robust, active, lam, point_chunk, axis_name
+            p, cam_params, use_robust, active, lam, point_chunk, axis_name,
+            solver, ss,
         )
         p_new = _apply_step(p, delta_c, delta_p)
         new_cost = cost_of(p_new)
@@ -311,7 +476,7 @@ bundle_adjust_jit = jax.jit(
     bundle_adjust,
     static_argnames=(
         "fx", "fy", "cx", "cy", "bf", "n_iters", "use_robust",
-        "point_chunk", "lam0", "axis_name",
+        "point_chunk", "lam0", "axis_name", "solver",
     ),
 )
 

@@ -85,25 +85,32 @@ def main():
     ]
     for name, K, P, opp in scales:
         probs = [make_problem(s, K, P, opp) for s in (0, 1)]
-        def solve(p):
-            out, res = ba.bundle_adjust_jit(
-                p, FX, FY, CX, CY, BF, n_iters=args.iters, point_chunk=1024
-            )
-            return out, res
-        out, res = solve(probs[0])
-        jax.block_until_ready(res.cost)
-        for p in probs:
-            _ = float(solve(p)[1].cost)
-        n = 6
-        start = time.perf_counter()
-        carry = 0.0
-        for i in range(n):
-            p = probs[i % 2]
-            p = p._replace(t=p.t + 0.0 * carry)
-            out, res = solve(p)
-            carry = float(res.cost) * 0.0
-        el = (time.perf_counter() - start) / n
-        print(f"{name}  {el * 1e3:9.1f} ms / {args.iters}-iter solve")
+        for solver in ("dense", "pcg"):
+            if solver == "dense" and K > 128:
+                print(f"{name}  [{solver:5s}]   (skipped: O(K^2 P) build)")
+                continue
+
+            def solve(p):
+                out, res = ba.bundle_adjust_jit(
+                    p, FX, FY, CX, CY, BF, n_iters=args.iters,
+                    point_chunk=1024, solver=solver,
+                )
+                return out, res
+            out, res = solve(probs[0])
+            jax.block_until_ready(res.cost)
+            for p in probs:
+                _ = float(solve(p)[1].cost)
+            n = 6
+            start = time.perf_counter()
+            carry = 0.0
+            for i in range(n):
+                p = probs[i % 2]
+                p = p._replace(t=p.t + 0.0 * carry)
+                out, res = solve(p)
+                carry = float(res.cost) * 0.0
+            el = (time.perf_counter() - start) / n
+            print(f"{name}  [{solver:5s}] {el * 1e3:9.1f} ms "
+                  f"/ {args.iters}-iter solve (final cost {float(res.cost):.1f})")
 
 
 if __name__ == "__main__":

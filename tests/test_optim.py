@@ -205,3 +205,60 @@ class TestBundleAdjust:
         assert inl.sum() > 0.85 * len(uvr)
         for k in range(2, 6):
             assert rot_angle(np.asarray(out.R[k]), R_true[k]) < 0.05
+
+
+class TestSchurPCG:
+    """Implicit-Schur PCG solver (optim/ba._schur_pcg) vs the dense
+    Cholesky path: same LM trajectory within CG tolerance, same
+    ground-truth convergence. The pcg path is what map-scale global BA
+    uses (solver='auto' at K >= 128)."""
+
+    def test_matches_dense_solver(self):
+        problem, R_true, t_true, X, _ = make_ba_problem(
+            seed=21, n_cams=8, n_pts=160
+        )
+        out_d, res_d = ba.bundle_adjust_jit(
+            problem, FX, FY, CX, CY, BF, n_iters=8, point_chunk=64,
+            solver="dense",
+        )
+        out_p, res_p = ba.bundle_adjust_jit(
+            problem, FX, FY, CX, CY, BF, n_iters=8, point_chunk=64,
+            solver="pcg",
+        )
+        # Both converge to the same optimum (not necessarily the same
+        # iterate path — CG steps are inexact).
+        assert float(res_p.cost) < 1.05 * float(res_d.cost) + 1e-9
+        np.testing.assert_allclose(
+            np.asarray(out_p.t), np.asarray(out_d.t), atol=5e-4
+        )
+        np.testing.assert_allclose(
+            np.asarray(out_p.points), np.asarray(out_d.points), atol=5e-3
+        )
+
+    def test_pcg_converges_to_ground_truth(self):
+        problem, R_true, t_true, X, _ = make_ba_problem(
+            seed=22, n_cams=8, n_pts=200
+        )
+        out, res = ba.bundle_adjust_jit(
+            problem, FX, FY, CX, CY, BF, n_iters=12, point_chunk=64,
+            solver="pcg",
+        )
+        for k in range(2, 8):
+            assert rot_angle(np.asarray(out.R[k]), R_true[k]) < 0.02
+            np.testing.assert_allclose(
+                np.asarray(out.t[k]), t_true[k], atol=2e-3
+            )
+
+    def test_pcg_respects_fixed_cameras(self):
+        problem, *_ = make_ba_problem(seed=23, n_cams=8, n_pts=120)
+        out, _ = ba.bundle_adjust_jit(
+            problem, FX, FY, CX, CY, BF, n_iters=6, point_chunk=64,
+            solver="pcg",
+        )
+        fixed = np.asarray(problem.fixed)
+        np.testing.assert_array_equal(
+            np.asarray(out.R)[fixed], np.asarray(problem.R)[fixed]
+        )
+        np.testing.assert_array_equal(
+            np.asarray(out.t)[fixed], np.asarray(problem.t)[fixed]
+        )
