@@ -50,7 +50,9 @@ import jax.numpy as jnp
 import numpy as np
 from jax import lax
 
-from orb_slam2_commit_tpu.ops import descriptors, fast, pallas_level, pyramid
+from orb_slam2_commit_tpu.ops import (
+    descriptors, fast, pallas_level, pallas_select, pyramid,
+)
 from orb_slam2_commit_tpu.ops.extractor import Features
 from orb_slam2_commit_tpu.utils.config import ORBConfig
 
@@ -166,7 +168,9 @@ def packed_select(
 
     cells = sp.reshape(n_cy, cell_size, n_cx, cell_size)
     cells = cells.transpose(0, 2, 1, 3).reshape(n_cy * n_cx, cell_size * cell_size)
-    cell_vals, cell_arg = fast.topk_iterative(cells, cell_top_k)  # [n_cells, k]
+    # Per-cell top-k as ONE kernel (all k extraction rounds in VMEM);
+    # identical values + tie-breaking to fast.topk_iterative.
+    cell_vals, cell_arg = pallas_select.cell_topk(cells, cell_top_k)
     cell_vals = jnp.maximum(cell_vals, 0.0)  # -inf pads (k > nonzeros) -> 0
 
     cell_ids = jnp.arange(n_cy * n_cx, dtype=jnp.int32)[:, None]
