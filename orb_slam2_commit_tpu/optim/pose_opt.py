@@ -20,6 +20,7 @@ import jax
 import jax.numpy as jnp
 
 from orb_slam2_commit_tpu.ops import lie
+from orb_slam2_commit_tpu.optim import linalg
 from orb_slam2_commit_tpu.optim import residuals as res
 from orb_slam2_commit_tpu.optim.residuals import BAObservations, CHI2_MONO, CHI2_STEREO
 
@@ -91,7 +92,9 @@ def _lm_rounds(
         H = jnp.einsum("ora,orb->ab", Jw, J)
         b = jnp.einsum("ora,or->a", Jw, e)
         H_lm = H + lam * jnp.diag(jnp.diag(H)) + 1e-9 * jnp.eye(6, dtype=H.dtype)
-        delta = -jnp.linalg.solve(H_lm, b)
+        # Unrolled SPD Cholesky fuses into the loop body (LU's pivoted
+        # dynamic-slice chain cannot); interleaved A/B on v5e: ~8% faster.
+        delta = -linalg.chol_solve_spd(H_lm, b)
         dR, dt = lie.se3_exp(delta)
         R_new = dR @ R
         t_new = dR @ t + dt

@@ -20,6 +20,7 @@ import jax
 import jax.numpy as jnp
 
 from orb_slam2_commit_tpu.ops import lie
+from orb_slam2_commit_tpu.optim import linalg
 
 CHI2_SIM3 = 9.995  # reference th2 = 10 (src/Optimizer.cc:1386)
 
@@ -98,7 +99,7 @@ def optimize_sim3(
                 H = H.at[6, :].set(0.0).at[:, 6].set(0.0).at[6, 6].set(1.0)
                 g = g.at[6].set(0.0)
             H_lm = H + lam * jnp.diag(jnp.diag(H)) + 1e-9 * jnp.eye(7, dtype=H.dtype)
-            delta = -jnp.linalg.solve(H_lm, g)
+            delta = -linalg.chol_solve_spd(H_lm, g)
             ds, dR, dt = lie.sim3_exp(delta)
             s_n = ds * s_
             R_n = dR @ R_
