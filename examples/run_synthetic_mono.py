@@ -58,6 +58,15 @@ def main():
         rmse = traj.ate_rmse(est[ok], gt_used[ok], align_scale=True)
         print(f"ATE RMSE (scale-aligned): {rmse:.4f} m  "
               f"(trajectory span {np.linalg.norm(gt[-1]-gt[0]):.2f} m)")
+        # Drift metric (TUM evaluate_rpe semantics). Monocular scale is
+        # free, so align the estimated trajectory's scale first.
+        est_poses = [(R, t) for _, R, t in sys_._resolve_trajectory()]
+        s, _, _ = traj.umeyama_alignment(est[ok], gt_used[ok])
+        est_poses = [(R, s * t) for R, t in est_poses]
+        gt_poses = [poses_gt[i + offset] for i in range(len(est_poses))]
+        t_rpe, r_rpe = traj.rpe_stats(est_poses, gt_poses, delta=1)
+        print(f"RPE (delta=1 frame): {t_rpe:.4f} m, "
+              f"{np.degrees(r_rpe):.3f} deg")
     sys_.save_trajectory_tum("/tmp/synthetic_traj.txt")
     print("saved /tmp/synthetic_traj.txt")
     print(sys_.profiler.report())

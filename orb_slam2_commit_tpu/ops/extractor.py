@@ -131,7 +131,13 @@ def extract_features(
     levels run through each stage as ONE kernel, which is what the
     launch-latency-bound hardware wants. The per-level route below is the
     readable oracle (and the CPU path).
+
+    Accepts any integer/float image dtype and casts to float32 IN-GRAPH:
+    callers should upload camera frames in their native uint8 so the
+    host->device transfer moves 1 byte/pixel, not 4 (the reference
+    likewise consumes 8-bit grayscale, src/Tracking.cc:246-259).
     """
+    image = image.astype(jnp.float32)
     if use_packed_route():
         from orb_slam2_commit_tpu.ops import packed_extractor
 

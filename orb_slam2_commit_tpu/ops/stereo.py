@@ -60,6 +60,10 @@ def stereo_frontend(
     from orb_slam2_commit_tpu.ops import extractor as ext
     from orb_slam2_commit_tpu.ops import pyramid as pyr
 
+    # In-graph f32 cast: upload camera frames as uint8 (see
+    # ops/extractor.extract_features).
+    image_l = image_l.astype(jnp.float32)
+    image_r = image_r.astype(jnp.float32)
     feats_l = ext.extract_features(image_l, orb_config, height, width)
     feats_r = ext.extract_features(image_r, orb_config, height, width)
     shapes = orb_config.level_shapes(height, width)

@@ -74,7 +74,7 @@ def make_frame(
     """
     cam = config.camera
     feats = ext.extract_features_jit(
-        jnp.asarray(image, jnp.float32), config.orb, cam.height, cam.width
+        jnp.asarray(image), config.orb, cam.height, cam.width
     )
     xy_raw = np.asarray(feats.xy, np.float64)
     valid = np.asarray(feats.valid)
@@ -126,8 +126,8 @@ def make_stereo_frame(
 
     cam = config.camera
     feats_l, _, match = stereo_ops.stereo_frontend_jit(
-        jnp.asarray(image_left, jnp.float32),
-        jnp.asarray(image_right, jnp.float32),
+        jnp.asarray(image_left),
+        jnp.asarray(image_right),
         config.orb, cam.height, cam.width, cam.bf, cam.baseline,
     )
     xy_raw = np.asarray(feats_l.xy, np.float64)

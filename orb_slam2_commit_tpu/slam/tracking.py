@@ -305,19 +305,19 @@ class Tracker:
         tz_rel = self._tz_rel(last, R_pred, t_pred)
         if image_right is not None:
             res = jit_frontend.fused_stereo_motion_track_jit(
-                jnp.asarray(image, jnp.float32),
-                jnp.asarray(image_right, jnp.float32),
+                jnp.asarray(image),
+                jnp.asarray(image_right),
                 *pt_args, jnp.asarray(tz_rel), self.config,
             )
         elif depth_image is not None:
             res = jit_frontend.fused_rgbd_motion_track_jit(
-                jnp.asarray(image, jnp.float32),
+                jnp.asarray(image),
                 jnp.asarray(depth_image, jnp.float32),
                 *pt_args, jnp.asarray(tz_rel), self.config,
             )
         else:
             res = jit_frontend.fused_motion_track_jit(
-                jnp.asarray(image, jnp.float32), *pt_args, self.config,
+                jnp.asarray(image), *pt_args, self.config,
             )
         frame = Frame(
             frame_id=frame_id,

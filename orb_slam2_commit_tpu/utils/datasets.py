@@ -20,7 +20,13 @@ import numpy as np
 
 
 def _load_gray(path: str) -> np.ndarray:
-    """Load an image as float32 grayscale [H, W] (0..255)."""
+    """Load an image as grayscale [H, W].
+
+    8-bit sources stay uint8 so the host->device upload moves 1
+    byte/pixel (the extraction graphs cast to f32 in-graph, matching the
+    reference's 8-bit grayscale input, src/Tracking.cc:246-259); 16-bit
+    sources (TUM depth PNGs) come back float32.
+    """
     try:
         from PIL import Image
 
@@ -30,9 +36,15 @@ def _load_gray(path: str) -> np.ndarray:
 
         img = iio.imread(path)
     if img.ndim == 3:
-        img = (
+        gray = (
             0.299 * img[..., 0] + 0.587 * img[..., 1] + 0.114 * img[..., 2]
         )
+        if img.dtype == np.uint8:
+            # cvtColor-style rounding back to 8-bit.
+            return np.clip(np.round(gray), 0, 255).astype(np.uint8)
+        return gray.astype(np.float32)
+    if img.dtype == np.uint8:
+        return img
     return img.astype(np.float32)
 
 
@@ -185,4 +197,8 @@ def remap_bilinear(img: np.ndarray, map_x: np.ndarray, map_y: np.ndarray
         (map_x < 0) | (map_x > w - 1) | (map_y < 0) | (map_y > h - 1)
     )
     out = np.where(invalid, 0.0, out)
+    if img.dtype == np.uint8:
+        # cv::remap on CV_8U rounds back to 8-bit (keeps the uint8
+        # upload path through rectified stereo).
+        return np.clip(np.round(out), 0, 255).astype(np.uint8)
     return out.astype(np.float32)

@@ -98,3 +98,45 @@ def ate_rmse(
     aligned = est_positions @ (s * R).T + t
     err = np.linalg.norm(aligned - gt_positions, axis=1)
     return float(np.sqrt((err ** 2).mean()))
+
+
+def rpe_stats(
+    est_poses: Sequence[Tuple[np.ndarray, np.ndarray]],
+    gt_poses: Sequence[Tuple[np.ndarray, np.ndarray]],
+    delta: int = 1,
+) -> Tuple[float, float]:
+    """Relative pose error over a fixed frame delta (TUM benchmark
+    evaluate_rpe.py semantics; the drift metric of the reference's
+    evaluation workflow, README.md:116-187).
+
+    Poses are camera-from-world (R_cw, t_cw) pairs, time-aligned between
+    est and gt. For each i the error motion is
+    E_i = (Q_i^-1 Q_{i+d})^-1 (P_i^-1 P_{i+d}) with Q gt / P est
+    world-from-camera transforms. Returns (translational RMSE in
+    trajectory units per delta, rotational RMSE in radians per delta).
+    """
+    n = min(len(est_poses), len(gt_poses))
+    t_errs, r_errs = [], []
+    for i in range(n - delta):
+        motions = []
+        for poses in (est_poses, gt_poses):
+            Ra, ta = poses[i]
+            Rb, tb = poses[i + delta]
+            # Relative camera motion a->b in a's frame:
+            # Twc_a^-1 Twc_b = Tcw_a * Twc_b.
+            R_rel = Ra @ Rb.T
+            t_rel = Ra @ (-Rb.T @ tb.reshape(3)) + ta.reshape(3)
+            motions.append((R_rel, t_rel))
+        (Rp, tp), (Rq, tq) = motions
+        # E = Q_rel^-1 P_rel.
+        Re = Rq.T @ Rp
+        te = Rq.T @ (tp - tq)
+        t_errs.append(float(np.linalg.norm(te)))
+        cos = (np.trace(Re) - 1.0) / 2.0
+        r_errs.append(float(np.arccos(np.clip(cos, -1.0, 1.0))))
+    t_arr = np.asarray(t_errs)
+    r_arr = np.asarray(r_errs)
+    return (
+        float(np.sqrt((t_arr ** 2).mean())),
+        float(np.sqrt((r_arr ** 2).mean())),
+    )
