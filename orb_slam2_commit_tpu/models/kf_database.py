@@ -2,9 +2,14 @@
 
 TPU-native replacement for KeyFrameDatabase (reference:
 src/KeyFrameDatabase.cc). The reference walks an inverted file of word ->
-keyframe lists; here keyframe BoW vectors live in one dense [K, W] matrix,
-so shared-word counting and L1 scoring are two matmuls — the retrieval
-equivalent of the reference's :86-216 candidate logic:
+keyframe lists; here every keyframe's BoW vector is stored SPARSE — a
+row of sorted word ids + L1-normalized TF-IDF weights, padded to the
+per-keyframe feature budget — so shared-word counting and L1 scoring
+against all keyframes are one vectorized searchsorted-intersection.
+Memory is O(keyframes x features), independent of vocabulary size: a
+production-scale vocabulary (ORBvoc.txt, ~1M words, as sized at
+src/KeyFrame.cc:70-76) costs the same as a toy one. The candidate logic
+is the retrieval equivalent of the reference's :86-216:
 
   detect_loop_candidates: exclude covisible KFs, keep > 0.8 * max common
   words, score > min_score, accumulate over covisibility groups (top-10),
@@ -16,7 +21,7 @@ equivalent of the reference's :86-216 candidate logic:
 
 from __future__ import annotations
 
-from typing import List, Optional
+from typing import List, Tuple
 
 import numpy as np
 
@@ -27,55 +32,115 @@ from orb_slam2_commit_tpu.models.vocabulary import BinaryVocabulary
 class KeyFrameDatabase:
     def __init__(self, vocabulary: BinaryVocabulary, max_keyframes: int):
         self.voc = vocabulary
-        self.bow = np.zeros((max_keyframes, vocabulary.n_words), np.float32)
         self.present = np.zeros(max_keyframes, bool)
+        # Sparse BoW rows, allocated on first add (word capacity = that
+        # keyframe's feature budget; unique words never exceed features).
+        self.word_ids: np.ndarray | None = None   # [K, Wcap] int64, -1 pad
+        self.weights: np.ndarray | None = None    # [K, Wcap] f32, 0 pad
         # Cached word ids / mid-level nodes per KF (for BoW matching).
         self.words: dict = {}
         self.nodes: dict = {}
 
     # ------------------------------------------------------------------
 
+    def _ensure_cols(self, wcap: int) -> None:
+        k = self.present.shape[0]
+        if self.word_ids is None:
+            self.word_ids = np.full((k, max(wcap, 1)), -1, np.int64)
+            self.weights = np.zeros((k, max(wcap, 1)), np.float32)
+        elif wcap > self.word_ids.shape[1]:
+            extra = wcap - self.word_ids.shape[1]
+            self.word_ids = np.concatenate(
+                [self.word_ids, np.full((k, extra), -1, np.int64)], axis=1
+            )
+            self.weights = np.concatenate(
+                [self.weights, np.zeros((k, extra), np.float32)], axis=1
+            )
+
     def add(self, kf_id: int, desc: np.ndarray, valid: np.ndarray) -> None:
         words, nodes = self.voc.transform(desc, valid)
-        self.bow[kf_id] = self.voc.bow_vector(words)
+        uw, wt = self.voc.sparse_bow(words)
+        self._ensure_cols(uw.size)
+        self.word_ids[kf_id] = -1
+        self.weights[kf_id] = 0.0
+        self.word_ids[kf_id, : uw.size] = uw
+        self.weights[kf_id, : uw.size] = wt
         self.present[kf_id] = True
         self.words[kf_id] = words
         self.nodes[kf_id] = nodes
 
     def grow(self, kind: str, new_capacity: int) -> None:
-        """MapState grow hook: keep the inverted file sized with the map's
+        """MapState grow hook: keep the database sized with the map's
         keyframe capacity."""
         if kind != "keyframes" or new_capacity <= self.present.shape[0]:
             return
         extra = new_capacity - self.present.shape[0]
-        self.bow = np.concatenate(
-            [self.bow, np.zeros((extra, self.bow.shape[1]), self.bow.dtype)]
-        )
+        if self.word_ids is not None:
+            wcap = self.word_ids.shape[1]
+            self.word_ids = np.concatenate(
+                [self.word_ids, np.full((extra, wcap), -1, np.int64)]
+            )
+            self.weights = np.concatenate(
+                [self.weights, np.zeros((extra, wcap), np.float32)]
+            )
         self.present = np.concatenate([self.present, np.zeros(extra, bool)])
 
     def erase(self, kf_id: int) -> None:
         self.present[kf_id] = False
-        self.bow[kf_id] = 0
+        if self.word_ids is not None:
+            self.word_ids[kf_id] = -1
+            self.weights[kf_id] = 0.0
         self.words.pop(kf_id, None)
         self.nodes.pop(kf_id, None)
 
+    def clear(self) -> None:
+        self.present[:] = False
+        if self.word_ids is not None:
+            self.word_ids[:] = -1
+            self.weights[:] = 0.0
+        self.words.clear()
+        self.nodes.clear()
+
     # ------------------------------------------------------------------
 
-    def _common_words_and_scores(self, v: np.ndarray):
-        has_word = self.bow > 0
-        common = has_word @ (v > 0).astype(np.float32)
-        scores = 1.0 - 0.5 * np.abs(self.bow - v[None]).sum(axis=1)
-        return common, scores
+    def kf_bow(self, kf_id: int) -> Tuple[np.ndarray, np.ndarray]:
+        """Sparse BoW row of a stored keyframe (padded entries -1/0)."""
+        return self.word_ids[kf_id], self.weights[kf_id]
+
+    def score_between(self, kf_a: int, kf_b: int) -> float:
+        return self.voc.sparse_score(
+            self.word_ids[kf_a], self.weights[kf_a],
+            self.word_ids[kf_b], self.weights[kf_b],
+        )
+
+    def _common_words_and_scores(self, q_uw: np.ndarray, q_wt: np.ndarray):
+        """Shared-word count + L1 score of the query against every stored
+        row, as one vectorized sorted intersection."""
+        k = self.present.shape[0]
+        if self.word_ids is None or q_uw.size == 0:
+            return np.zeros(k, np.float32), np.zeros(k, np.float32)
+        W = self.word_ids                               # [K, Wcap]
+        idx = np.clip(np.searchsorted(q_uw, W), 0, q_uw.size - 1)
+        match = (q_uw[idx] == W) & (W >= 0)             # [K, Wcap]
+        common = match.sum(axis=1).astype(np.float32)
+        wq = np.where(match, q_wt[idx], 0.0)
+        wk = np.where(match, self.weights, 0.0)
+        inter_q = wq.sum(axis=1)
+        inter_k = wk.sum(axis=1)
+        inter_abs = np.abs(wq - wk).sum(axis=1)
+        row_sum = self.weights.sum(axis=1)              # 1 for stored rows
+        l1 = (q_wt.sum() - inter_q) + (row_sum - inter_k) + inter_abs
+        scores = np.where(row_sum > 0, 1.0 - 0.5 * l1, 0.0)
+        return common, scores.astype(np.float32)
 
     def detect_loop_candidates(
         self, map_state: MapState, kf_id: int, min_score: float
     ) -> List[int]:
         """Oracle: DetectLoopCandidates (src/KeyFrameDatabase.cc:76-216)."""
-        v = self.bow[kf_id]
+        common, scores = self._common_words_and_scores(*self.kf_bow(kf_id))
         connected = set(
             int(x) for x in map_state.covisible_keyframes(kf_id, None, 1)
         )
-        common, scores = self._common_words_and_scores(v)
         eligible = self.present.copy()
         eligible[kf_id] = False
         for c in connected:
@@ -121,8 +186,9 @@ class KeyFrameDatabase:
         """Oracle: DetectRelocalizationCandidates
         (src/KeyFrameDatabase.cc:219-341). Accepts a Frame."""
         words, _ = self.voc.transform(frame.desc, frame.valid)
-        v = self.voc.bow_vector(words)
-        common, scores = self._common_words_and_scores(v)
+        common, scores = self._common_words_and_scores(
+            *self.voc.sparse_bow(words)
+        )
         eligible = self.present
         if not eligible.any():
             return []

@@ -193,6 +193,49 @@ class BinaryVocabulary:
         s = 1 - 0.5 * |v1 - v2|_1 for L1-normalized vectors."""
         return float(1.0 - 0.5 * np.abs(v1 - v2).sum())
 
+    def sparse_bow(
+        self, words: np.ndarray
+    ) -> Tuple[np.ndarray, np.ndarray]:
+        """Sparse L1-normalized TF-IDF vector from word ids: (sorted
+        unique word ids [U] int64, weights [U] f32). The sparse twin of
+        bow_vector — memory independent of vocabulary size, which is what
+        a production ORBvoc.txt (~1M words) requires (the reference's
+        BowVector is likewise a sparse map, DBoW2/BowVector.h)."""
+        w = words[words >= 0]
+        if w.size == 0:
+            return np.zeros(0, np.int64), np.zeros(0, np.float32)
+        uw, inv = np.unique(w, return_inverse=True)
+        wt = np.zeros(uw.size, np.float32)
+        np.add.at(wt, inv, self.word_weight[w])
+        s = wt.sum()
+        if s > 0:
+            wt /= s
+        return uw.astype(np.int64), wt
+
+    @staticmethod
+    def sparse_score(
+        uw1: np.ndarray, wt1: np.ndarray, uw2: np.ndarray, wt2: np.ndarray
+    ) -> float:
+        """L1 score between two sparse BoW vectors (uw sorted unique,
+        padding entries uw < 0 / wt == 0 allowed). Identical value to
+        score(dense(v1), dense(v2)); empty vectors score 0."""
+        m1 = uw1 >= 0
+        m2 = uw2 >= 0
+        uw1, wt1 = uw1[m1], wt1[m1]
+        uw2, wt2 = uw2[m2], wt2[m2]
+        if uw1.size == 0 or uw2.size == 0:
+            return 0.0
+        idx = np.clip(np.searchsorted(uw1, uw2), 0, uw1.size - 1)
+        match = uw1[idx] == uw2
+        inter1 = wt1[idx][match]
+        inter2 = wt2[match]
+        l1 = (
+            (wt1.sum() - inter1.sum())
+            + (wt2.sum() - inter2.sum())
+            + np.abs(inter1 - inter2).sum()
+        )
+        return float(1.0 - 0.5 * l1)
+
     # ------------------------------------------------------------------
     # Text serialization (same row layout as the reference's ORBvoc.txt:
     # "k L s1 s2" header, then "parent isLeaf 32-bytes weight" rows,

@@ -108,19 +108,14 @@ class LoopCloser:
         """Oracle: DetectLoop (src/LoopClosing.cc:115-257)."""
         # Min score among covisible keyframes (:136-156).
         covis = self.map.covisible_keyframes(kf, None, min_weight=15)
-        v = self.db.bow[kf] if self.db.present[kf] else None
-        if v is None:
-            words, _ = self.db.voc.transform(
-                self.map.kf_desc[kf], self.map.kf_feat_valid[kf]
-            )
-            v = self.db.voc.bow_vector(words)
+        if not self.db.present[kf]:
+            self.db.add(kf, self.map.kf_desc[kf], self.map.kf_feat_valid[kf])
+        uw, wt = self.db.kf_bow(kf)
         min_score = 1.0
         for c in covis:
             if self.db.present[c]:
-                s = self.db.voc.score(v, self.db.bow[c])
+                s = self.db.voc.sparse_score(uw, wt, *self.db.kf_bow(c))
                 min_score = min(min_score, s)
-        if not self.db.present[kf]:
-            self.db.add(kf, self.map.kf_desc[kf], self.map.kf_feat_valid[kf])
 
         candidates = self.db.detect_loop_candidates(self.map, kf, min_score)
         if not candidates:

@@ -315,8 +315,7 @@ class System:
             self.tracker.localization_only = localization_only
             self.mapper = LocalMapper(self.config, self.map)
             if self.kf_database is not None:
-                self.kf_database.bow[:] = 0
-                self.kf_database.present[:] = False
+                self.kf_database.clear()
                 self.tracker.kf_database = self.kf_database
                 self.map.remove_kf_hooks = [self.kf_database.erase]
                 self.map.grow_hooks = [self.kf_database.grow]
@@ -355,8 +354,7 @@ class System:
         )
         if self.kf_database is not None:
             self.kf_database.grow("keyframes", self.map.cfg.max_keyframes)
-            self.kf_database.bow[:] = 0
-            self.kf_database.present[:] = False
+            self.kf_database.clear()
             serialization.rebuild_database(self.map, self.kf_database)
             self.map.remove_kf_hooks = [self.kf_database.erase]
             self.map.grow_hooks = [self.kf_database.grow]

@@ -67,11 +67,15 @@ def test_database_grows_with_map():
     descs = rng.integers(0, 2 ** 32, size=(64, 8), dtype=np.uint32)
     voc = BinaryVocabulary.train(descs, k=3, levels=2, seed=0)
     db = KeyFrameDatabase(voc, max_keyframes=4)
+    db.add(1, descs[:16], np.ones(16, bool))
     db.grow("keyframes", 8)
     assert db.present.shape[0] == 8
-    assert db.bow.shape == (8, voc.n_words)
+    assert db.word_ids.shape[0] == 8
     # Growing to a smaller/equal capacity is a no-op.
     db.grow("keyframes", 4)
     assert db.present.shape[0] == 8
     db.add(6, descs[:16], np.ones(16, bool))
     assert db.present[6]
+    assert db.present[1]
+    # Grown rows score identically to pre-grow content.
+    assert db.score_between(1, 6) > 0

@@ -96,3 +96,52 @@ class TestVocabulary:
         for a in range(40):
             for b in range(40):
                 assert (w1[a] == w1[b]) == (w2[a] == w2[b])
+
+
+def test_sparse_bow_matches_dense(trained_voc_module=None):
+    from orb_slam2_commit_tpu.models.vocabulary import BinaryVocabulary
+
+    rng = np.random.default_rng(7)
+    descs = rng.integers(0, 2 ** 32, size=(128, 8), dtype=np.uint32)
+    voc = BinaryVocabulary.train(descs, k=3, levels=3, seed=1)
+    qa = rng.integers(0, 2 ** 32, size=(40, 8), dtype=np.uint32)
+    qb = rng.integers(0, 2 ** 32, size=(40, 8), dtype=np.uint32)
+    va = np.ones(40, bool)
+    wa, _ = voc.transform(qa, va)
+    wb, _ = voc.transform(qb, va)
+    dense = voc.score(voc.bow_vector(wa), voc.bow_vector(wb))
+    sparse = voc.sparse_score(*voc.sparse_bow(wa), *voc.sparse_bow(wb))
+    np.testing.assert_allclose(sparse, dense, atol=1e-6)
+    # Self-score is 1; empty scores 0.
+    self_s = voc.sparse_score(*voc.sparse_bow(wa), *voc.sparse_bow(wa))
+    np.testing.assert_allclose(self_s, 1.0, atol=1e-6)
+    empty = np.zeros(0, np.int64), np.zeros(0, np.float32)
+    assert voc.sparse_score(*empty, *voc.sparse_bow(wa)) == 0.0
+
+
+def test_database_sparse_scores_match_dense_formula():
+    from orb_slam2_commit_tpu.models.kf_database import KeyFrameDatabase
+    from orb_slam2_commit_tpu.models.vocabulary import BinaryVocabulary
+
+    rng = np.random.default_rng(11)
+    descs = rng.integers(0, 2 ** 32, size=(256, 8), dtype=np.uint32)
+    voc = BinaryVocabulary.train(descs, k=3, levels=3, seed=2)
+    db = KeyFrameDatabase(voc, max_keyframes=6)
+    frames = [
+        rng.integers(0, 2 ** 32, size=(50, 8), dtype=np.uint32)
+        for _ in range(4)
+    ]
+    for i, d in enumerate(frames):
+        db.add(i, d, np.ones(50, bool))
+    # Vectorized common/score vs per-pair dense oracles.
+    q_uw, q_wt = db.kf_bow(0)
+    common, scores = db._common_words_and_scores(q_uw, q_wt)
+    w0, _ = voc.transform(frames[0], np.ones(50, bool))
+    v0 = voc.bow_vector(w0)
+    for j in range(4):
+        wj, _ = voc.transform(frames[j], np.ones(50, bool))
+        vj = voc.bow_vector(wj)
+        np.testing.assert_allclose(scores[j], voc.score(v0, vj), atol=1e-6)
+        want_common = np.sum((v0 > 0) & (vj > 0))
+        np.testing.assert_allclose(common[j], want_common)
+    assert scores[4] == 0.0 and scores[5] == 0.0
