@@ -276,6 +276,13 @@ def ic_angle_patches(image: jnp.ndarray, yx: jnp.ndarray) -> jnp.ndarray:
     from orb_slam2_commit_tpu.ops import pallas_patches
 
     P = pallas_patches.extract_patches(image, yx, PATCH_SIZE)
+    return ic_angle_from_patches(P)
+
+
+def ic_angle_from_patches(P: jnp.ndarray) -> jnp.ndarray:
+    """IC angle from pre-gathered patches [N, >=PATCH_SIZE, >=PATCH_SIZE]
+    (keypoint at (PATCH_SIZE//2, PATCH_SIZE//2)); lets callers share one
+    patch gather across orientation + subpixel refinement."""
     w10, w01 = _moment_weights()
     wpad = np.zeros((2,) + P.shape[1:], np.float32)
     wpad[0, :PATCH_SIZE, :PATCH_SIZE] = w10

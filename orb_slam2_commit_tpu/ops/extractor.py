@@ -152,7 +152,12 @@ def extract_features(
     all_xy, all_resp, all_angle, all_oct, all_desc, all_valid = [], [], [], [], [], []
     for lvl, (img_l, budget, scale) in enumerate(zip(levels, budgets, scales)):
         yx, resp, angle, desc, valid = _extract_level(img_l, lvl, budget, config)
-        xy0 = yx[:, ::-1].astype(jnp.float32) * jnp.float32(scale)
+        xy_f = yx.astype(jnp.float32)
+        if config.subpixel_refine:
+            from orb_slam2_commit_tpu.ops import subpix
+
+            xy_f = xy_f + subpix.corner_subpix_offsets(img_l, yx)
+        xy0 = xy_f[:, ::-1] * jnp.float32(scale)
         all_xy.append(xy0)
         all_resp.append(resp.astype(jnp.float32))
         all_angle.append(angle.astype(jnp.float32))

@@ -271,10 +271,26 @@ def extract_features_packed(
     resp_flat = resp.reshape(-1)[sel]
     valid_flat = valid.reshape(-1)[sel]
 
-    angle = descriptors.ic_angle_patches(canvas, yx_flat)
+    # One Pallas patch gather feeds orientation AND subpixel refinement
+    # (a second XLA gather for the 9x9 refinement windows measured
+    # ~25% of the whole frontend step on v5e).
+    from orb_slam2_commit_tpu.ops import pallas_patches
+
+    patches = pallas_patches.extract_patches(
+        canvas, yx_flat, descriptors.PATCH_SIZE
+    )
+    angle = descriptors.ic_angle_from_patches(patches)
     desc = descriptors.brief_descriptors_patches(blur_c, yx_flat, angle)
 
-    # Canvas coords -> level-0 coords (per-slot constants, fused).
+    sub_off = 0.0
+    if config.subpixel_refine:
+        from orb_slam2_commit_tpu.ops import subpix
+
+        # Same pixels as the per-level route: every keypoint sits at
+        # least `border` >= 19 px inside its level's canvas rows, so the
+        # refinement stencil never crosses a level boundary.
+        half = descriptors.PATCH_SIZE // 2
+        sub_off = subpix.corner_subpix_from_patches(patches, half, half)
     row_off_np = np.concatenate(
         [np.full(b, plan.row_offsets[l], np.float32) for l, b in enumerate(budgets)]
     )
@@ -284,10 +300,9 @@ def extract_features_packed(
     octave_np = np.concatenate(
         [np.full(b, l, np.int32) for l, b in enumerate(budgets)]
     )
-    x0 = yx_flat[:, 1].astype(jnp.float32) * jnp.asarray(scale_np)
-    y0 = (yx_flat[:, 0].astype(jnp.float32) - jnp.asarray(row_off_np)) * jnp.asarray(
-        scale_np
-    )
+    xy_f = yx_flat.astype(jnp.float32) + sub_off
+    x0 = xy_f[:, 1] * jnp.asarray(scale_np)
+    y0 = (xy_f[:, 0] - jnp.asarray(row_off_np)) * jnp.asarray(scale_np)
     return Features(
         xy=jnp.stack([x0, y0], axis=-1),
         response=resp_flat,

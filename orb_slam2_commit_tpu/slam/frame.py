@@ -39,6 +39,11 @@ class Frame:
     t: Optional[np.ndarray] = None
     # Map-point binding per feature (-1 none).
     point_ids: Optional[np.ndarray] = None
+    # Trajectory entry recorded for this frame (set by the tracker): the
+    # relative pose to its reference keyframe, used to RE-ANCHOR the pose
+    # when the map moves under BA/loop corrections (reference:
+    # Tracking::UpdateLastFrame, src/Tracking.cc:971-980).
+    anchor: Optional[object] = None
 
     def __post_init__(self):
         if self.point_ids is None:

@@ -17,6 +17,7 @@ from __future__ import annotations
 
 import contextlib
 import dataclasses
+import os
 import threading
 from typing import Dict, List, Optional
 
@@ -55,16 +56,24 @@ class LocalMapper:
     # ------------------------------------------------------------------
 
     def process_keyframe(self, kf: int) -> None:
+        # ORB_DIAG_SKIP: comma-separated mapper stages to skip
+        # ("cullpts,tri,fuse,lba,cullkfs") — drift-bisection diagnostics
+        # for scripts/diag_drift.py, not a user surface.
+        skip = set(os.environ.get("ORB_DIAG_SKIP", "").split(","))
         with self.map_lock:
             self.map.refresh_point_stats()
-            self._cull_recent_points(kf)
-            self._create_new_points(kf)
-            self._fuse_neighbors(kf)
+            if "cullpts" not in skip:
+                self._cull_recent_points(kf)
+            if "tri" not in skip:
+                self._create_new_points(kf)
+            if "fuse" not in skip:
+                self._fuse_neighbors(kf)
             self.map.refresh_point_stats()
-        if self.map.n_keyframes() > 2 and not self.abort_ba:
+        if self.map.n_keyframes() > 2 and not self.abort_ba and "lba" not in skip:
             self._local_ba(kf)
         with self.map_lock:
-            self._cull_keyframes(kf)
+            if "cullkfs" not in skip:
+                self._cull_keyframes(kf)
 
     # ------------------------------------------------------------------
 

@@ -236,6 +236,7 @@ class System:
                         self.loop_closer.process_keyframe(kf)
             self.tracker.ref_kf = kf
             self.tracker.last_kf_frame_id = frame.frame_id
+            self.tracker.bind_keyframe_anchor(frame, kf)
         return pose
 
     def _insert_keyframe(self, frame: Frame) -> int:

@@ -284,6 +284,7 @@ class Tracker:
         instead."""
         from orb_slam2_commit_tpu.slam import jit_frontend
 
+        self._update_last_frame_pose()
         last = self.last_frame
         Rv, tv = self.velocity
         R_pred = Rv @ last.R
@@ -351,6 +352,7 @@ class Tracker:
         map is sparse (reference: Tracking::UpdateLastFrame,
         src/Tracking.cc:971-1047 — nearest-first, at least 100 or all
         closer than ThDepth)."""
+        self._update_last_frame_pose()
         last = self.last_frame
         cam = self.config.camera
         if (
@@ -410,6 +412,7 @@ class Tracker:
         """Oracle: Tracking::TrackWithMotionModel (src/Tracking.cc:1049-1135)."""
         if self.velocity is None or self.last_frame is None:
             return False
+        self._update_last_frame_pose()
         cam = self.config.camera
         Rv, tv = self.velocity
         R_pred = Rv @ self.last_frame.R
@@ -828,6 +831,7 @@ class Tracker:
                 self.trajectory.append(
                     TrajectoryEntry(e.ref_kf, e.R_rel, e.t_rel, frame.timestamp, True)
                 )
+                frame.anchor = self.trajectory[-1]
             return
         Rr = self.map.kf_pose_R[self.ref_kf]
         tr = self.map.kf_pose_t[self.ref_kf]
@@ -836,6 +840,59 @@ class Tracker:
         self.trajectory.append(
             TrajectoryEntry(self.ref_kf, R_rel, t_rel, frame.timestamp, False)
         )
+        frame.anchor = self.trajectory[-1]
+
+    def bind_keyframe_anchor(self, frame: Frame, kf: int) -> None:
+        """Re-reference this frame's trajectory entry to the keyframe just
+        created FROM it. The reference runs CreateNewKeyFrame before the
+        relative-pose bookkeeping (src/Tracking.cc:554-585), so the
+        KF-spawning frame's stored relative pose is to its OWN keyframe —
+        local BA then moves frame and keyframe together."""
+        if not self.trajectory or self.trajectory[-1].lost or frame.R is None:
+            return
+        Rr = self.map.kf_pose_R[kf]
+        tr = self.map.kf_pose_t[kf]
+        R_rel = frame.R @ Rr.T
+        t_rel = frame.t - R_rel @ tr
+        e = TrajectoryEntry(kf, R_rel, t_rel, frame.timestamp, False)
+        self.trajectory[-1] = e
+        frame.anchor = e
+
+    def _update_last_frame_pose(self) -> None:
+        """Re-anchor the last frame's pose through its reference keyframe:
+        Tcw_last = Tlr * Tcw_ref(NOW) (oracle: Tracking::UpdateLastFrame
+        "Update pose according to reference keyframe",
+        src/Tracking.cc:971-980). Without this, local/global BA and loop
+        corrections that move the map leave the motion-model prediction
+        anchored to the PRE-correction world — measured on synthetic runs
+        as an inlier collapse on the first frames after every local BA.
+
+        Walks cull-time-frozen Tcp chains when the reference keyframe was
+        culled (same resolution as trajectory export, src/System.cc:376-380).
+        """
+        last = self.last_frame
+        if last is None or last.R is None:
+            return
+        e = last.anchor
+        if e is None:
+            return
+        k, R_rel, t_rel = e.ref_kf, e.R_rel, e.t_rel
+        hops = 0
+        while k >= 0 and not self.map.kf_valid[k] and hops < 64:
+            parent = int(self.map.kf_parent[k])
+            if parent < 0:
+                return
+            R_kp = self.map.kf_tcp_R[k]
+            t_kp = self.map.kf_tcp_t[k]
+            t_rel = R_rel @ t_kp + t_rel
+            R_rel = R_rel @ R_kp
+            k = parent
+            hops += 1
+        if k < 0 or not self.map.kf_valid[k]:
+            return
+        Rk = self.map.kf_pose_R[k]
+        tk = self.map.kf_pose_t[k]
+        last.set_pose(R_rel @ Rk, R_rel @ tk + t_rel)
 
 
 # ---------------------------------------------------------------------------

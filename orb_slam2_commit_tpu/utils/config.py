@@ -88,6 +88,11 @@ class ORBConfig:
     cell_size: int = 32
     # Max candidate keypoints kept per cell before the global per-level top-K.
     cell_top_k: int = 8
+    # Gradient-based subpixel corner refinement (ops/subpix.py). The
+    # reference reports integer FAST corners; the +-0.5 px quantization is
+    # the dominant map-depth error at init-scale baselines, so this is ON
+    # by default (descriptor sampling stays at the integer location).
+    subpixel_refine: bool = True
 
     def scale_factors(self) -> Tuple[float, ...]:
         return tuple(self.scale_factor ** i for i in range(self.n_levels))
