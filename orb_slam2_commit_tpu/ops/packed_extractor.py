@@ -288,9 +288,12 @@ def extract_features_packed(
 
         # Same pixels as the per-level route: every keypoint sits at
         # least `border` >= 19 px inside its level's canvas rows, so the
-        # refinement stencil never crosses a level boundary.
+        # refinement stencil never crosses a level boundary. One Pallas
+        # pass; oracle = subpix.corner_subpix_from_patches.
         half = descriptors.PATCH_SIZE // 2
-        sub_off = subpix.corner_subpix_from_patches(patches, half, half)
+        sub_off = subpix.corner_subpix_from_patches_pallas(
+            patches, half, half
+        )
     row_off_np = np.concatenate(
         [np.full(b, plan.row_offsets[l], np.float32) for l, b in enumerate(budgets)]
     )

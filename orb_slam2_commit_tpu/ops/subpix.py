@@ -22,8 +22,13 @@ the 2x2 normal matrix is near-singular (edge/flat neighborhoods).
 
 from __future__ import annotations
 
+import functools
+
+import jax
 import jax.numpy as jnp
 import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
 
 HALF = 3          # window radius (7x7)
 ITERS = 2
@@ -106,3 +111,103 @@ def offsets_from_windows(win: jnp.ndarray) -> jnp.ndarray:
         cy = jnp.where(ok, jnp.clip(ny, -MAX_OFFSET, MAX_OFFSET), cy)
 
     return jnp.stack([cy, cx], axis=-1)
+
+
+# ---------------------------------------------------------------------------
+# Pallas TPU route: one kernel over pre-gathered patches
+# ---------------------------------------------------------------------------
+
+_BLOCK = 128  # keypoints per grid instance
+
+
+def _subpix_kernel(win_ref, out_ref):
+    """Refinement for one block of flattened windows [B, >=81] (row-major
+    (S+2)x(S+2) interior in the first 81 lanes), entirely in VMEM.
+
+    Same math and element ordering as offsets_from_windows; strictly 2D
+    shapes throughout (Mosaic rejects the 3D formulation's layouts).
+    """
+    from jax import lax
+
+    w = win_ref[:, :]
+    s = 2 * HALF + 1
+    sp = s + 2   # 9: window + halo
+    # Row-major interior gradients, unrolled over the 7 interior rows.
+    gx_rows, gy_rows = [], []
+    for r in range(1, sp - 1):
+        row = w[:, sp * r:sp * r + sp]
+        gx_rows.append(0.5 * (row[:, 2:] - row[:, :-2]))
+        up = w[:, sp * (r - 1) + 1:sp * (r - 1) + sp - 1]
+        dn = w[:, sp * (r + 1) + 1:sp * (r + 1) + sp - 1]
+        gy_rows.append(0.5 * (dn - up))
+    gx = jnp.concatenate(gx_rows, axis=1)    # [B, 49]
+    gy = jnp.concatenate(gy_rows, axis=1)
+
+    n2 = s * s
+    ii = lax.broadcasted_iota(jnp.int32, (1, n2), 1)
+    px = (ii % s).astype(jnp.float32) - jnp.float32(HALF)
+    py = (ii // s).astype(jnp.float32) - jnp.float32(HALF)
+    gxx = gx * gx
+    gyy = gy * gy
+    gxy = gx * gy
+
+    b = w.shape[0]
+    cy = jnp.zeros((b, 1), jnp.float32)
+    cx = jnp.zeros((b, 1), jnp.float32)
+    sigma2 = jnp.float32(HALF * HALF)
+    for _ in range(ITERS):
+        wgt = jnp.exp(-((px - cx) ** 2 + (py - cy) ** 2) / (2.0 * sigma2))
+        a = jnp.sum(wgt * gxx, axis=1, keepdims=True)
+        bb = jnp.sum(wgt * gxy, axis=1, keepdims=True)
+        c = jnp.sum(wgt * gyy, axis=1, keepdims=True)
+        bx = jnp.sum(wgt * (gxx * px + gxy * py), axis=1, keepdims=True)
+        by = jnp.sum(wgt * (gxy * px + gyy * py), axis=1, keepdims=True)
+        det = a * c - bb * bb
+        ok = det > 1e-6 * jnp.maximum(a + c, 1e-12) ** 2
+        det_safe = jnp.where(ok, det, 1.0)
+        nx = (c * bx - bb * by) / det_safe
+        ny = (a * by - bb * bx) / det_safe
+        cx = jnp.where(ok, jnp.clip(nx, -MAX_OFFSET, MAX_OFFSET), cx)
+        cy = jnp.where(ok, jnp.clip(ny, -MAX_OFFSET, MAX_OFFSET), cy)
+
+    lane = out_ref.shape[1]
+    out_ref[:, :] = jnp.concatenate(
+        [cy, cx, jnp.zeros((b, lane - 2), jnp.float32)], axis=1
+    )
+
+
+@functools.partial(
+    jax.jit, static_argnames=("center_y", "center_x", "interpret")
+)
+def corner_subpix_from_patches_pallas(
+    patches: jnp.ndarray,     # [K, rows, lanes] from pallas_patches
+    center_y: int,
+    center_x: int,
+    interpret: bool | None = None,
+) -> jnp.ndarray:
+    """Pallas twin of corner_subpix_from_patches: ~15 small XLA kernels
+    become ONE pass over flattened refinement windows (sliced out of the
+    already-gathered patch array by XLA)."""
+    if interpret is None:
+        interpret = jax.default_backend() == "cpu"
+    r = HALF + 1
+    k = patches.shape[0]
+    sp = 2 * r + 1
+    win = patches[
+        :, center_y - r:center_y + r + 1, center_x - r:center_x + r + 1
+    ].astype(jnp.float32).reshape(k, sp * sp)
+    kp = ((max(k, 1) + _BLOCK - 1) // _BLOCK) * _BLOCK
+    x = jnp.pad(win, ((0, kp - k), (0, 128 - sp * sp)))
+    out = pl.pallas_call(
+        _subpix_kernel,
+        grid=(kp // _BLOCK,),
+        in_specs=[
+            pl.BlockSpec((_BLOCK, 128), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((_BLOCK, 128), lambda i: (i, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((kp, 128), jnp.float32),
+        interpret=interpret,
+    )(x)
+    return out[:k, :2]

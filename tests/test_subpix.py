@@ -67,3 +67,16 @@ def test_from_patches_matches_gather_route():
     P = pallas_patches.extract_patches(img, yx, 31, interpret=True)
     got = np.asarray(subpix.corner_subpix_from_patches(P, 15, 15))
     np.testing.assert_allclose(got, want, atol=1e-5)
+
+
+def test_pallas_from_patches_matches_xla_route():
+    from orb_slam2_commit_tpu.ops import pallas_patches
+
+    rng = np.random.default_rng(9)
+    img = jnp.asarray(rng.uniform(0, 255, (128, 160)), jnp.float32)
+    yx = jnp.asarray(rng.integers(20, 100, (37, 2)), jnp.int32)
+    P = pallas_patches.extract_patches(img, yx, 31, interpret=True)
+    want = np.asarray(subpix.corner_subpix_from_patches(P, 15, 15))
+    got = np.asarray(subpix.corner_subpix_from_patches_pallas(
+        P, 15, 15, interpret=True))
+    np.testing.assert_allclose(got, want, atol=1e-5)
