@@ -79,8 +79,12 @@ def main():
     n_iters = 64
     n_blocks = 5
     fps_blocks = []
+    # The feedback chain carries ACROSS blocks: restarting each block from
+    # fb0 would reuse identical (executable, input-buffer-id) pairs for
+    # its first iterations — the documented axon fast-path hazard — and
+    # best-of-blocks would then select on that artifact.
+    fb1, fb2 = fb0, fb0
     for _ in range(n_blocks):
-        fb1, fb2 = fb0, fb0
         start = time.perf_counter()
         for i in range(n_iters):
             out = fn(images[i % n_images], fb2, *rest)

@@ -104,8 +104,12 @@ class KeyFrameDatabase:
     # ------------------------------------------------------------------
 
     def kf_bow(self, kf_id: int) -> Tuple[np.ndarray, np.ndarray]:
-        """Sparse BoW row of a stored keyframe (padded entries -1/0)."""
-        return self.word_ids[kf_id], self.weights[kf_id]
+        """Sparse BoW of a stored keyframe, UNPADDED (sorted unique word
+        ids + weights). Callers feed this to searchsorted-based scoring,
+        which requires a sorted array — the padded row (trailing -1s)
+        is not one."""
+        m = self.word_ids[kf_id] >= 0
+        return self.word_ids[kf_id][m], self.weights[kf_id][m]
 
     def score_between(self, kf_a: int, kf_b: int) -> float:
         return self.voc.sparse_score(

@@ -221,14 +221,21 @@ class System:
             return pose
 
         if pose is not None and self.tracker.need_new_keyframe(frame):
+            # The anchor rebind must happen BEFORE mapping/loop closing
+            # move the new keyframe (relative pose = identity at creation
+            # — the reference's CreateNewKeyFrame-before-bookkeeping
+            # order); binding after local BA would freeze the PRE-BA pose
+            # into the trajectory entry.
             if self.mapping_worker is not None:
                 with self.map_lock:
                     with self.profiler.timed("keyframe_insert"):
                         kf = self._insert_keyframe(frame)
+                    self.tracker.bind_keyframe_anchor(frame, kf)
                 self.mapping_worker.insert_keyframe(kf)
             else:
                 with self.profiler.timed("keyframe_insert"):
                     kf = self._insert_keyframe(frame)
+                self.tracker.bind_keyframe_anchor(frame, kf)
                 with self.profiler.timed("local_mapping"):
                     self.mapper.process_keyframe(kf)
                 if self.loop_closer is not None:
@@ -236,7 +243,6 @@ class System:
                         self.loop_closer.process_keyframe(kf)
             self.tracker.ref_kf = kf
             self.tracker.last_kf_frame_id = frame.frame_id
-            self.tracker.bind_keyframe_anchor(frame, kf)
         return pose
 
     def _insert_keyframe(self, frame: Frame) -> int:

@@ -68,21 +68,18 @@ def main():
                 R0, t0_, X, obs, fx, fy, cx, cy, 0.0)
         return jax.jit(f)
 
-    orig_solve = jnp.linalg.solve
-    # Variant A: LU (library solve).
-    fA = make_fn()
-    # Variant B: unrolled Cholesky.
-    jnp.linalg.solve = lambda H, b: (
-        linalg.chol_solve_spd(H, b) if (H.ndim == 2 and H.shape[-1] == 6)
-        else orig_solve(H, b)
-    )
-    fB = make_fn()
-    jnp.linalg.solve = orig_solve
-
-    # Warm both.
-    for f in (fA, fB):
-        for p in problems:
-            jax.block_until_ready(f(*p))
+    # pose_opt calls linalg.chol_solve_spd directly, so the A/B swaps THAT
+    # symbol. jit traces at the FIRST CALL, not at jax.jit() time, so each
+    # variant must be traced (warmed) while its patch is active.
+    orig_chol = linalg.chol_solve_spd
+    linalg.chol_solve_spd = lambda H, b: jnp.linalg.solve(H, b)
+    fA = make_fn()          # LU
+    for p in problems:
+        jax.block_until_ready(fA(*p))
+    linalg.chol_solve_spd = orig_chol
+    fB = make_fn()          # unrolled Cholesky
+    for p in problems:
+        jax.block_until_ready(fB(*p))
 
     tA, tB = [], []
     for _ in range(5):

@@ -49,7 +49,7 @@ def main():
     images = np.clip(np.round(images), 0, 255).astype(np.uint8)
     sys_ = System(cfg, async_mapping=use_async)
 
-    warm = min(max(n_frames // 3, 20), 60)
+    warm = min(max(n_frames // 3, 20), 60, n_frames - 1)
     t_steady = None
     frame_times = []
     for i in range(n_frames):

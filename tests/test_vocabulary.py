@@ -145,3 +145,29 @@ def test_database_sparse_scores_match_dense_formula():
         want_common = np.sum((v0 > 0) & (vj > 0))
         np.testing.assert_allclose(common[j], want_common)
     assert scores[4] == 0.0 and scores[5] == 0.0
+
+
+def test_database_query_with_padded_rows():
+    """Regression: kf_bow must return UNPADDED sorted word ids. A first
+    wide keyframe sets the column capacity; narrower keyframes' padded
+    rows fed to the searchsorted query zeroed every score (loop closure
+    silently never fired for them)."""
+    from orb_slam2_commit_tpu.models.kf_database import KeyFrameDatabase
+    from orb_slam2_commit_tpu.models.vocabulary import BinaryVocabulary
+
+    rng = np.random.default_rng(21)
+    descs = rng.integers(0, 2 ** 32, size=(256, 8), dtype=np.uint32)
+    voc = BinaryVocabulary.train(descs, k=3, levels=3, seed=4)
+    db = KeyFrameDatabase(voc, max_keyframes=4)
+    wide = rng.integers(0, 2 ** 32, size=(120, 8), dtype=np.uint32)
+    narrow = rng.integers(0, 2 ** 32, size=(12, 8), dtype=np.uint32)
+    db.add(0, wide, np.ones(120, bool))
+    db.add(1, narrow, np.ones(12, bool))
+    db.add(2, narrow, np.ones(12, bool))   # identical twin of 1
+    uw, wt = db.kf_bow(1)
+    assert np.all(uw >= 0) and np.all(np.diff(uw) > 0)
+    common, scores = db._common_words_and_scores(uw, wt)
+    np.testing.assert_allclose(scores[1], 1.0, atol=1e-6)   # self
+    np.testing.assert_allclose(scores[2], 1.0, atol=1e-6)   # twin
+    assert common[2] == common[1] > 0
+    assert db.score_between(1, 2) > 0.999
