@@ -848,6 +848,8 @@ class Tracker:
         relative-pose bookkeeping (src/Tracking.cc:554-585), so the
         KF-spawning frame's stored relative pose is to its OWN keyframe —
         local BA then moves frame and keyframe together."""
+        if not self.config.tracker.reanchor_last_frame:
+            return
         if not self.trajectory or self.trajectory[-1].lost or frame.R is None:
             return
         Rr = self.map.kf_pose_R[kf]
@@ -870,6 +872,8 @@ class Tracker:
         Walks cull-time-frozen Tcp chains when the reference keyframe was
         culled (same resolution as trajectory export, src/System.cc:376-380).
         """
+        if not self.config.tracker.reanchor_last_frame:
+            return
         last = self.last_frame
         if last is None or last.R is None:
             return
@@ -892,7 +896,22 @@ class Tracker:
             return
         Rk = self.map.kf_pose_R[k]
         tk = self.map.kf_pose_t[k]
-        last.set_pose(R_rel @ Rk, R_rel @ tk + t_rel)
+        R_new = R_rel @ Rk
+        t_new = R_rel @ tk + t_rel
+        # Trust gate: a healthy BA/loop correction moves a keyframe by a
+        # small fraction of its distance to the tracked frame; corrections
+        # far beyond that indicate an unstable backend solve (observed:
+        # consecutive-frame keyframes with cm baselines dragged 0.3-10
+        # map units by local BA on degenerate triangulations). Feeding
+        # those into the motion prediction compounds the damage, so fall
+        # back to the tracker's own pose chain instead.
+        c_old = -last.R.T @ last.t
+        c_new = -R_new.T @ t_new
+        c_ref = -Rk.T @ tk
+        limit = max(0.5 * float(np.linalg.norm(c_old - c_ref)), 0.05)
+        if float(np.linalg.norm(c_new - c_old)) > limit:
+            return
+        last.set_pose(R_new, t_new)
 
 
 # ---------------------------------------------------------------------------

@@ -159,6 +159,16 @@ class TrackerConfig:
     min_matches_init: int = 100
     min_inliers_track: int = 10
     min_inliers_local_map: int = 30
+    # Reference-faithful UpdateLastFrame pose re-anchoring + rebinding of
+    # KF-spawning frames' trajectory entries to their own keyframe
+    # (src/Tracking.cc:971-980, :554-585). OFF by default: our local BA
+    # can move a freshly-spawned keyframe by large amounts when
+    # consecutive-frame keyframes triangulate at cm baselines, and the
+    # re-anchor faithfully feeds that instability into the motion
+    # prediction and trajectory export (measured 0.03 -> 0.23 m ATE on
+    # the synthetic mono benchmark). Flip on once fresh-keyframe local
+    # BA is damped/gated.
+    reanchor_last_frame: bool = False
     min_inliers_local_map_recent: int = 50
     search_radius_motion: float = 15.0
     search_radius_local_map: float = 3.0
