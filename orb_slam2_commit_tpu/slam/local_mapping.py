@@ -206,9 +206,10 @@ class LocalMapper:
             with np.errstate(divide="ignore", invalid="ignore"):
                 ratio_dist = d2 / np.maximum(d1, 1e-12)
             ratio_octave = scale_factors[np.clip(o1, 0, 7)] / scale_factors[np.clip(o2, 0, 7)]
+            cos_gate = np.cos(np.radians(cfg.tracker.tri_min_parallax_deg))
             good = (
                 (cos_par > 0)
-                & (cos_par < 0.9998)
+                & (cos_par < cos_gate)
                 & (z1 > 0)
                 & (z2 > 0)
                 & (e1 < 5.991 * sigma2[np.clip(o1, 0, 7)])

@@ -152,7 +152,8 @@ class Tracker:
         K = jnp.asarray(np.asarray(cfg.camera.k_matrix))
         self._rng_key, sub = jax.random.split(self._rng_key)
         res = twoview.initialize_two_view_jit(
-            sub, uv1, uv2, jnp.asarray(matched), K
+            sub, uv1, uv2, jnp.asarray(matched), K,
+            min_parallax=float(cfg.tracker.init_min_parallax_deg),
         )
         if not bool(res.ok):
             return False

@@ -169,6 +169,17 @@ class TrackerConfig:
     # the synthetic mono benchmark). Flip on once fresh-keyframe local
     # BA is damped/gated.
     reanchor_last_frame: bool = False
+    # Two-view init parallax gate, degrees (reference passes 1.0 to the
+    # Initializer, src/Tracking.cc:684; checked against the 51st-largest
+    # per-point parallax, src/Initializer.cc:1276-1287). Slow sequences
+    # that initialize at this floor produce ray-smeared structure (depth
+    # errors correlated along rays through the init camera) that makes
+    # rotation weakly observable and lets per-frame tracking drift
+    # compound — see scripts/diag_rot.py / diag_initmap.py.
+    init_min_parallax_deg: float = 1.0
+    # Parallax gate for newly triangulated map points, degrees (reference
+    # uses cosParallaxRays < 0.9998 ~ 1.15 deg, src/LocalMapping.cc:388).
+    tri_min_parallax_deg: float = 1.15
     min_inliers_local_map_recent: int = 50
     search_radius_motion: float = 15.0
     search_radius_local_map: float = 3.0
