@@ -25,6 +25,8 @@ from typing import List, Optional, Tuple
 
 import numpy as np
 
+from orb_slam2_commit_tpu.utils.rotation import orthonormalize_rotation
+
 from orb_slam2_commit_tpu.utils.config import MapConfig, ORBConfig
 
 INVALID = -1
@@ -235,7 +237,7 @@ class MapState:
         n = xy.shape[0]
         assert n <= self.n_feat, (n, self.n_feat)
         self.kf_valid[k] = True
-        self.kf_pose_R[k] = R
+        self.kf_pose_R[k] = orthonormalize_rotation(R)
         self.kf_pose_t[k] = t
         self.kf_xy[k, :n] = xy
         self.kf_octave[k, :n] = octave

@@ -17,6 +17,7 @@ import numpy as np
 from orb_slam2_commit_tpu.ops import camera as cam_ops
 from orb_slam2_commit_tpu.ops import extractor as ext
 from orb_slam2_commit_tpu.utils.config import SLAMConfig
+from orb_slam2_commit_tpu.utils.rotation import orthonormalize_rotation
 
 
 @dataclasses.dataclass
@@ -57,7 +58,7 @@ class Frame:
         return int((self.point_ids >= 0).sum())
 
     def set_pose(self, R: np.ndarray, t: np.ndarray) -> None:
-        self.R = np.asarray(R, np.float64)
+        self.R = orthonormalize_rotation(np.asarray(R, np.float64))
         self.t = np.asarray(t, np.float64)
 
     def camera_center(self) -> np.ndarray:

@@ -27,6 +27,8 @@ from typing import Dict, Optional, Tuple
 
 import numpy as np
 
+from orb_slam2_commit_tpu.utils.rotation import orthonormalize_rotation
+
 from orb_slam2_commit_tpu.models.map_state import MapState
 from orb_slam2_commit_tpu.optim import ba
 from orb_slam2_commit_tpu.slam.tracking import build_ba_problem
@@ -201,7 +203,7 @@ class GlobalBARunner:
 
         for k in np.where(m.kf_valid)[0]:
             R_n, t_n = resolve(int(k))
-            m.kf_pose_R[k] = R_n
+            m.kf_pose_R[k] = orthonormalize_rotation(R_n)
             m.kf_pose_t[k] = t_n
 
         # Points in the solve: overwrite (skip ones culled meanwhile).

@@ -316,6 +316,12 @@ class LocalMapper:
         free set; two-stage robust/non-robust LM with outlier erasure."""
         cam = self.config.camera
         free = [int(kf)] + [int(k) for k in self.map.covisible_keyframes(kf, 31)]
+        # The first keyframe is ALWAYS held fixed when it participates
+        # (reference: vSE3->setFixed(pKFi->mnId==0), src/Optimizer.cc:633;
+        # KF0 anchors the global gauge — leaving it free lets every local
+        # BA drift the whole init-anchored frame).
+        always_fixed = [k for k in free if k == 0]
+        free = [k for k in free if k != 0]
         free_set = set(free)
         pts = np.unique(self.map.kf_point_idx[np.asarray(free)])
         pts = pts[pts >= 0]
@@ -323,9 +329,9 @@ class LocalMapper:
         if pts.size < 10:
             return
         # Fixed second ring: KFs observing those points but not free.
-        fixed = []
+        fixed = list(always_fixed)
         for k in np.where(self.map.kf_valid)[0]:
-            if int(k) in free_set:
+            if int(k) in free_set or int(k) in always_fixed:
                 continue
             if np.isin(self.map.kf_point_idx[k], pts).any():
                 fixed.append(int(k))
@@ -336,8 +342,8 @@ class LocalMapper:
             anchor = min(free)
             free = [k for k in free if k != anchor]
             fixed = [anchor]
-            if not free:
-                return
+        if not free:
+            return
 
         with self.map_lock:
             assembled = build_ba_problem(
@@ -374,6 +380,8 @@ class LocalMapper:
         sel = obs_pid >= 0
         obs_kf, obs_pid, obs_oct = obs_kf[sel], obs_pid[sel], obs_oct[sel]
 
+        spacing_ratio = self.config.tracker.cull_min_spacing_ratio
+
         for k in self.map.covisible_keyframes(kf, None, min_weight=1):
             k = int(k)
             if k == 0 or k == kf or not self.map.kf_valid[k]:
@@ -382,6 +390,38 @@ class LocalMapper:
                 # Loop-edge keyframes are never erased (reference
                 # mbNotErase, src/KeyFrame.cc:532-565).
                 continue
+            if spacing_ratio > 0:
+                # Spatial guard (beyond reference; rationale at
+                # TrackerConfig.cull_min_spacing_ratio): keep spatially
+                # isolated keyframes — they carry baseline information BA
+                # cannot get from the remaining set. Isolation is measured
+                # against OLDER surviving keyframes only: during steady
+                # forward motion every keyframe transiently has a fresh
+                # neighbor right beside it (which itself gets culled
+                # later), so an all-neighbors test degenerates into a
+                # treadmill that leaves gaps behind; the older-only test
+                # makes survivors settle into a spacing_ratio-spaced
+                # farthest-point chain.
+                others = np.where(self.map.kf_valid)[0]
+                others = others[others < k]
+                if others.size == 0:
+                    continue
+                ck = -self.map.kf_pose_R[k].T @ self.map.kf_pose_t[k]
+                co = np.einsum(
+                    "kij,kj->ki",
+                    -np.transpose(self.map.kf_pose_R[others], (0, 2, 1)),
+                    self.map.kf_pose_t[others],
+                )
+                d_min = float(np.linalg.norm(co - ck, axis=1).min())
+                row_k = self.map.kf_point_idx[k]
+                pids_k = row_k[row_k >= 0]
+                pids_k = pids_k[self.map.pt_valid[pids_k]]
+                if pids_k.size >= 10:
+                    zk = (self.map.pt_pos[pids_k] @ self.map.kf_pose_R[k][2]
+                          ) + self.map.kf_pose_t[k][2]
+                    med_k = float(np.median(zk[zk > 0])) if (zk > 0).any() else 0.0
+                    if med_k > 0 and d_min > spacing_ratio * med_k:
+                        continue
             row = self.map.kf_point_idx[k]
             feats = np.where((row >= 0) & self.map.pt_valid[np.maximum(row, 0)])[0]
             if feats.size == 0:

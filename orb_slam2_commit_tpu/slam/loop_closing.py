@@ -23,6 +23,8 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+from orb_slam2_commit_tpu.utils.rotation import orthonormalize_rotation
+
 from orb_slam2_commit_tpu.geometry import sim3_solver
 from orb_slam2_commit_tpu.models.kf_database import KeyFrameDatabase
 from orb_slam2_commit_tpu.models.map_state import INVALID, MapState
@@ -338,7 +340,7 @@ class LoopCloser:
         # 3. SE3-ify corrected poses: R = R_corr, t = t_corr / s (:681-696).
         for i in neighborhood:
             s_i, R_i, t_i = corrected[i]
-            m.kf_pose_R[i] = R_i
+            m.kf_pose_R[i] = orthonormalize_rotation(R_i)
             m.kf_pose_t[i] = t_i / s_i
 
         # 4. Bind/replace loop point matches in the current KF (:703-728).
@@ -477,7 +479,7 @@ class LoopCloser:
                 m.pt_pos[pids] = pw_new
                 done.update(int(p) for p in pids)
         for local, k in enumerate(valid_kfs):
-            m.kf_pose_R[k] = R_out[local]
+            m.kf_pose_R[k] = orthonormalize_rotation(R_out[local])
             m.kf_pose_t[k] = t_out[local] / s_out[local]
 
     # ------------------------------------------------------------------

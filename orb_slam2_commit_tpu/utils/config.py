@@ -191,6 +191,33 @@ class TrackerConfig:
     kf_ref_ratio_stereo: float = 0.75
     kf_min_frames: int = 0
     kf_max_frames: int = 30
+    # Baseline/view-angle keyframe trigger (beyond the reference). The
+    # reference's only map-extension trigger is inliers < ratio*nRefMatches
+    # (src/Tracking.cc:1264-1279); when matching is strong (low-noise
+    # imagery) that never fires, the map stops growing, and structure laid
+    # down by the short-baseline init is never refined by wide-baseline
+    # triangulation + BA — measured: 1.8% frozen depth error, tracking
+    # collapse once the camera leaves the init view cone. Insert a
+    # keyframe whenever the camera has translated more than
+    # kf_baseline_depth_ratio x (median tracked depth) or rotated more
+    # than kf_view_angle_deg since the last keyframe (0 disables either).
+    # Strictly additive: extra keyframes are reclaimed by the reference's
+    # own redundancy culling (src/LocalMapping.cc:784-871).
+    kf_baseline_depth_ratio: float = 0.025
+    kf_view_angle_deg: float = 5.0
+    # Spatial guard for keyframe culling (beyond the reference). The
+    # reference culls any keyframe whose observations are >=90% covered by
+    # >=3 other keyframes at similar octaves (src/LocalMapping.cc:784-871);
+    # when a scene is observed at one scale from everywhere, EVERY new
+    # keyframe is instantly "redundant" and gets culled the round after
+    # its creation — destroying exactly the wide-baseline observations
+    # bundle adjustment needs to undo the short-baseline init's structure
+    # warp (measured: a keyframe treadmill that froze the map at 5 KFs /
+    # 0.06 units of baseline for a 1.5 m path). Keep a keyframe, however
+    # observation-redundant, while no OTHER keyframe sits within
+    # cull_min_spacing_ratio x (its median scene depth) of its camera
+    # center. 0 restores pure reference behavior.
+    cull_min_spacing_ratio: float = 0.02
 
 
 @dataclasses.dataclass(frozen=True)

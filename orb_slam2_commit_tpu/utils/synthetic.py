@@ -180,6 +180,38 @@ def look_ahead_trajectory(
     return poses
 
 
+def sweep_trajectory(
+    n_frames: int,
+    amp: float = 0.35,
+    z_step: float = 0.005,
+    yaw_amp: float = 0.12,
+    periods: float = 1.25,
+) -> List[Tuple[np.ndarray, np.ndarray]]:
+    """TUM-fr1/xyz-like handheld motion: lateral-dominant sinusoidal sweep
+    with gentle vertical bob, slow forward drift and a yaw that keeps the
+    scene centered. Lateral translation against a near scene gives strong
+    per-frame parallax — the geometry real mono SLAM accuracy claims are
+    made on (the reference's ATE tables are TUM fr1/xyz-class sequences,
+    README.md:39-45) — unlike a pure forward march where parallax vanishes
+    toward the epipole."""
+    poses = []
+    for k in range(n_frames):
+        ph = 2.0 * np.pi * periods * k / max(n_frames - 1, 1)
+        c = np.array([
+            amp * np.sin(ph),
+            0.35 * amp * np.sin(2.1 * ph + 0.7),
+            z_step * k,
+        ])
+        # Yaw counter-rotates so the optical axis sweeps back over the scene.
+        yaw = -yaw_amp * np.sin(ph)
+        cy, sy = np.cos(yaw), np.sin(yaw)
+        R_wc = np.array([[cy, 0, sy], [0, 1, 0], [-sy, 0, cy]])
+        R_cw = R_wc.T
+        t_cw = -R_cw @ c
+        poses.append((R_cw, t_cw))
+    return poses
+
+
 def render_sequence(
     cam: CameraConfig,
     n_frames: int = 30,
@@ -188,12 +220,31 @@ def render_sequence(
     step: float = 0.06,
     with_depth: bool = False,
     planar_frac: float = 0.0,
+    motion: str = "forward",
+    depth_range: Tuple[float, float] = (4.0, 12.0),
+    spread: float = 6.0,
 ):
     """Images [T, H, W] + ground-truth poses + scene
-    (+ depth maps [T, H, W] when with_depth)."""
+    (+ depth maps [T, H, W] when with_depth).
+
+    motion="forward": the original forward march (adverse mono geometry —
+    low parallax near the epipole; stress test). motion="sweep": lateral
+    handheld sweep against the scene (TUM fr1/xyz-class geometry; use
+    depth_range=(1.5, 4.0), spread~2.0 with it)."""
     rng = np.random.default_rng(seed)
-    scene = make_scene(rng, n_points=n_points, planar_frac=planar_frac)
-    poses = look_ahead_trajectory(n_frames, step=step)
+    scene = make_scene(
+        rng, n_points=n_points, planar_frac=planar_frac,
+        depth_range=depth_range, spread=spread,
+    )
+    if motion == "sweep":
+        # amp chosen so the PEAK per-frame camera translation equals `step`
+        # (d/dk of amp*sin(2*pi*p*k/(n-1)) has max amp*2*pi*p/(n-1)) —
+        # "step" keeps one meaning across motion modes.
+        periods = 1.25
+        amp = step * (n_frames - 1) / (2.0 * np.pi * periods)
+        poses = sweep_trajectory(n_frames, amp=amp, periods=periods)
+    else:
+        poses = look_ahead_trajectory(n_frames, step=step)
     if with_depth:
         rendered = [render(scene, R, t, cam, with_depth=True) for R, t in poses]
         images = np.stack([r[0] for r in rendered])
