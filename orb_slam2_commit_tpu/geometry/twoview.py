@@ -487,12 +487,21 @@ def initialize_two_view(
         min_parallax, min_triangulated,
     )
 
-    ok = jnp.where(use_h, ok_h, ok_f)
-    R = jnp.where(use_h, R_h, R_f)
-    t = jnp.where(use_h, t_h, t_f)
-    pts = jnp.where(use_h, pts_h, pts_f)
-    good = jnp.where(use_h, good_h, good_f)
-    return TwoViewResult(ok, use_h, R, t, pts, good)
+    # Marginal-H fallback (beyond reference). Forward motion against a
+    # deep scene scores RH just above the 0.40 threshold (near-homographic
+    # image motion), the 8-hypothesis H reconstruction then fails its
+    # winner-dominance gates, and the reference simply waits — measured:
+    # initialization deferred for 50+ frames while the F reconstruction
+    # passes every gate. When H wins only marginally (RH <= 0.45, below
+    # the reference's own "clear homography" notion) and fails to
+    # reconstruct, accept a passing F solution instead.
+    sel_h = use_h & (ok_h | (rh > 0.45))
+    ok = jnp.where(sel_h, ok_h, ok_f)
+    R = jnp.where(sel_h, R_h, R_f)
+    t = jnp.where(sel_h, t_h, t_f)
+    pts = jnp.where(sel_h, pts_h, pts_f)
+    good = jnp.where(sel_h, good_h, good_f)
+    return TwoViewResult(ok, sel_h, R, t, pts, good)
 
 
 initialize_two_view_jit = jax.jit(

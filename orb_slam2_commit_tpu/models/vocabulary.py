@@ -26,11 +26,15 @@ N_WORDS_DEFAULT_K = 10
 N_WORDS_DEFAULT_L = 6
 
 
+_POPCOUNT_LUT = np.unpackbits(
+    np.arange(256, dtype=np.uint8)[:, None], axis=1
+).sum(1).astype(np.uint16)
+
+
 def _popcount_rows(x: np.ndarray) -> np.ndarray:
     """Popcount over packed uint32 rows [..., 8] -> [...]."""
-    return np.unpackbits(
-        x.view(np.uint8).reshape(x.shape[:-1] + (32,)), axis=-1
-    ).sum(-1)
+    b = x.view(np.uint8).reshape(x.shape[:-1] + (32,))
+    return _POPCOUNT_LUT[b].sum(-1)
 
 
 def _majority_descriptor(descs: np.ndarray) -> np.ndarray:
@@ -43,9 +47,15 @@ def _majority_descriptor(descs: np.ndarray) -> np.ndarray:
 
 
 def _hamming_to(centroids: np.ndarray, descs: np.ndarray) -> np.ndarray:
-    """[n, c] distances."""
-    x = descs[:, None, :] ^ centroids[None, :, :]
-    return _popcount_rows(x)
+    """[n, c] distances (chunked so n*c*32 bytes never materialises at
+    vocabulary-training scale)."""
+    n, c = descs.shape[0], centroids.shape[0]
+    out = np.empty((n, c), np.uint16)
+    chunk = max(1, (1 << 24) // max(c * 32, 1))
+    for s in range(0, n, chunk):
+        x = descs[s : s + chunk, None, :] ^ centroids[None, :, :]
+        out[s : s + chunk] = _popcount_rows(x)
+    return out
 
 
 def _kmeans_binary(descs: np.ndarray, k: int, rng, iters: int = 8):
@@ -243,14 +253,15 @@ class BinaryVocabulary:
     # ------------------------------------------------------------------
 
     def save_text(self, path: str) -> None:
+        # Vectorized parent table (a per-row linear search is O(n^2) and
+        # unusable at 1e5-word scale).
+        n_nodes = self.children.shape[0]
+        parent = np.full(n_nodes, -1, np.int64)
+        rows, cols = np.nonzero(self.children >= 0)
+        parent[self.children[rows, cols]] = rows
         with open(path, "w") as f:
             f.write(f"{self.k} {self.levels} 0 0\n")
-            for nid in range(1, self.children.shape[0]):
-                parent = -1
-                for p in range(self.children.shape[0]):
-                    if nid in self.children[p]:
-                        parent = p
-                        break
+            for nid in range(1, n_nodes):
                 is_leaf = int(self.word_id[nid] >= 0)
                 byts = self.node_desc[nid].view(np.uint8)
                 wt = (
@@ -259,10 +270,30 @@ class BinaryVocabulary:
                     else 0.0
                 )
                 f.write(
-                    f"{parent} {is_leaf} "
+                    f"{parent[nid]} {is_leaf} "
                     + " ".join(str(int(b)) for b in byts)
                     + f" {wt}\n"
                 )
+
+    def save_npz(self, path: str) -> None:
+        """Compact binary save (the ~1e5-word default vocabulary ships in
+        this format; save_text keeps ORBvoc.txt-layout parity)."""
+        np.savez_compressed(
+            path, k=self.k, levels=self.levels, children=self.children,
+            node_desc=self.node_desc, node_level=self.node_level,
+            word_id=self.word_id, word_weight=self.word_weight,
+            n_words=self.n_words,
+        )
+
+    @classmethod
+    def load_npz(cls, path: str) -> "BinaryVocabulary":
+        z = np.load(path)
+        return cls(
+            k=int(z["k"]), levels=int(z["levels"]), children=z["children"],
+            node_desc=z["node_desc"], node_level=z["node_level"],
+            word_id=z["word_id"], word_weight=z["word_weight"],
+            n_words=int(z["n_words"]),
+        )
 
     @classmethod
     def load_text(cls, path: str) -> "BinaryVocabulary":

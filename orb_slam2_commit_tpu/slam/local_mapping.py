@@ -17,6 +17,7 @@ from __future__ import annotations
 
 import contextlib
 import dataclasses
+import logging
 import os
 import threading
 from typing import Dict, List, Optional
@@ -30,6 +31,8 @@ from orb_slam2_commit_tpu.optim import ba
 from orb_slam2_commit_tpu.slam import matchers
 from orb_slam2_commit_tpu.slam.tracking import build_ba_problem, write_back_ba
 from orb_slam2_commit_tpu.utils.config import SLAMConfig
+
+_LOG = logging.getLogger(__name__)
 
 
 @dataclasses.dataclass
@@ -205,15 +208,17 @@ class LocalMapper:
             o2 = self.map.kf_octave[k2][idx[rows]]
             with np.errstate(divide="ignore", invalid="ignore"):
                 ratio_dist = d2 / np.maximum(d1, 1e-12)
-            ratio_octave = scale_factors[np.clip(o1, 0, 7)] / scale_factors[np.clip(o2, 0, 7)]
+            n_lv = cfg.orb.n_levels
+            ratio_octave = (scale_factors[np.clip(o1, 0, n_lv - 1)]
+                            / scale_factors[np.clip(o2, 0, n_lv - 1)])
             cos_gate = np.cos(np.radians(cfg.tracker.tri_min_parallax_deg))
             good = (
                 (cos_par > 0)
                 & (cos_par < cos_gate)
                 & (z1 > 0)
                 & (z2 > 0)
-                & (e1 < 5.991 * sigma2[np.clip(o1, 0, 7)])
-                & (e2 < 5.991 * sigma2[np.clip(o2, 0, 7)])
+                & (e1 < 5.991 * sigma2[np.clip(o1, 0, n_lv - 1)])
+                & (e2 < 5.991 * sigma2[np.clip(o2, 0, n_lv - 1)])
                 & (ratio_dist * ratio_factor >= ratio_octave)
                 & (ratio_dist <= ratio_octave * ratio_factor)
                 & np.isfinite(pts).all(axis=1)
@@ -315,7 +320,18 @@ class LocalMapper:
         free = current KF + covisible; fixed = second ring; points of the
         free set; two-stage robust/non-robust LM with outlier erasure."""
         cam = self.config.camera
-        free = [int(kf)] + [int(k) for k in self.map.covisible_keyframes(kf, 31)]
+        # The reference's local window is UNBOUNDED (all covisible KFs +
+        # every second-ring observer, src/Optimizer.cc:533-587); we bucket
+        # shapes for compile reuse but never drop silently — truncation is
+        # logged so dense-map runs are auditable.
+        all_covis = [int(k) for k in self.map.covisible_keyframes(kf, None,
+                                                                 min_weight=15)]
+        free = [int(kf)] + all_covis[:63]
+        if len(all_covis) > 63:
+            _LOG.warning(
+                "local BA: truncating free window %d -> 64 KFs (kf=%d)",
+                len(all_covis) + 1, kf,
+            )
         # The first keyframe is ALWAYS held fixed when it participates
         # (reference: vSE3->setFixed(pKFi->mnId==0), src/Optimizer.cc:633;
         # KF0 anchors the global gauge — leaving it free lets every local
@@ -325,18 +341,27 @@ class LocalMapper:
         free_set = set(free)
         pts = np.unique(self.map.kf_point_idx[np.asarray(free)])
         pts = pts[pts >= 0]
-        pts = pts[self.map.pt_valid[pts]][:4096]
+        pts = pts[self.map.pt_valid[pts]]
+        if pts.size > 8192:
+            _LOG.warning(
+                "local BA: truncating points %d -> 8192 (kf=%d)", pts.size, kf
+            )
+            pts = pts[:8192]
         if pts.size < 10:
             return
         # Fixed second ring: KFs observing those points but not free.
         fixed = list(always_fixed)
+        truncated_fixed = False
         for k in np.where(self.map.kf_valid)[0]:
             if int(k) in free_set or int(k) in always_fixed:
                 continue
             if np.isin(self.map.kf_point_idx[k], pts).any():
+                if len(fixed) >= 64:
+                    truncated_fixed = True
+                    break
                 fixed.append(int(k))
-            if len(fixed) >= 32:
-                break
+        if truncated_fixed:
+            _LOG.warning("local BA: truncating fixed ring at 64 KFs (kf=%d)", kf)
         if not fixed:
             # Gauge: anchor the oldest free keyframe.
             anchor = min(free)

@@ -187,8 +187,9 @@ class LoopCloser:
             uv1 = self.map.kf_xy[kf][rows]
             uv2 = self.map.kf_xy[cand][idx[rows]]
             sig = np.asarray(cfg.orb.level_sigma2())
-            s2_1 = sig[np.clip(self.map.kf_octave[kf][rows], 0, 7)]
-            s2_2 = sig[np.clip(self.map.kf_octave[cand][idx[rows]], 0, 7)]
+            n_lv = cfg.orb.n_levels
+            s2_1 = sig[np.clip(self.map.kf_octave[kf][rows], 0, n_lv - 1)]
+            s2_2 = sig[np.clip(self.map.kf_octave[cand][idx[rows]], 0, n_lv - 1)]
 
             self._rng_key, sub = jax.random.split(self._rng_key)
             res = sim3_solver.sim3_ransac_jit(

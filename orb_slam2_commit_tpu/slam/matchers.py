@@ -268,7 +268,7 @@ def match_for_triangulation(
     (:831-838), TH_LOW, rotation histogram.
     """
     sigmas2 = _scale_sigmas() ** 2
-    sig2 = sigmas2[jnp.clip(octave2, 0, 7)]
+    sig2 = sigmas2[jnp.clip(octave2, 0, sigmas2.shape[0] - 1)]
     dist = matching.hamming_distance_matrix(desc1, desc2)
     de = xy2 - epipole2[None]
     far_from_epipole = jnp.sum(de * de, axis=1) >= min_epipole_dist2

@@ -171,9 +171,13 @@ class Tracker:
         # all later tracking (measured: 3% median structure error at init,
         # 20% ATE by frame 40). Instead measure parallax directly from the
         # correspondences: warp ref pixels by the infinite homography
-        # K*R21*K^-1 (pure-rotation prediction) and take the median residual
-        # flow, which is f*baseline/depth to first order and immune to
-        # triangulation noise. Gate at f*tan(init_min_parallax_deg).
+        # K*R21*K^-1 (pure-rotation prediction); the residual flow is
+        # f*tan(parallax) to first order and immune to triangulation
+        # noise. Statistic: the 50th-LARGEST flow — the reference's own
+        # order statistic (51st-largest parallax, Initializer.cc:1284-1295)
+        # — NOT the median: under forward motion flow vanishes toward the
+        # epipole, so the median stays small long after the outer image
+        # ring has initialization-grade parallax.
         Kc = np.asarray(cfg.camera.k_matrix)
         Hinf = Kc @ R21 @ np.linalg.inv(Kc)
         xy1h = np.concatenate(
@@ -183,10 +187,13 @@ class Tracker:
         warped = warped[:, :2] / np.maximum(warped[:, 2:3], 1e-9)
         flow = np.linalg.norm(np.asarray(frame.xy[np.maximum(idx, 0)]) - warped, axis=1)
         sel = good if good.sum() >= 20 else matched
-        med_flow = float(np.median(flow[sel])) if sel.any() else 0.0
+        if not sel.any():
+            return False
+        flows = np.sort(flow[sel])[::-1]
+        flow_stat = float(flows[min(50, flows.size) - 1])
         f_px = 0.5 * (cfg.camera.fx + cfg.camera.fy)
         min_flow = f_px * np.tan(np.radians(cfg.tracker.init_min_parallax_deg))
-        if med_flow < min_flow:
+        if flow_stat < min_flow:
             return False
         pts = np.asarray(res.points)[good]
 
@@ -956,19 +963,6 @@ class Tracker:
         tk = self.map.kf_pose_t[k]
         R_new = R_rel @ Rk
         t_new = R_rel @ tk + t_rel
-        # Trust gate: a healthy BA/loop correction moves a keyframe by a
-        # small fraction of its distance to the tracked frame; corrections
-        # far beyond that indicate an unstable backend solve (observed:
-        # consecutive-frame keyframes with cm baselines dragged 0.3-10
-        # map units by local BA on degenerate triangulations). Feeding
-        # those into the motion prediction compounds the damage, so fall
-        # back to the tracker's own pose chain instead.
-        c_old = -last.R.T @ last.t
-        c_new = -R_new.T @ t_new
-        c_ref = -Rk.T @ tk
-        limit = max(0.5 * float(np.linalg.norm(c_old - c_ref)), 0.05)
-        if float(np.linalg.norm(c_new - c_old)) > limit:
-            return
         last.set_pose(R_new, t_new)
 
 
@@ -1027,8 +1021,8 @@ def build_ba_problem(
     pt_idx = local_pt[sel]
     uv = map_state.kf_xy[obs_kf, obs_feat]
     ur = map_state.kf_ur[obs_kf, obs_feat]
-    octv = np.clip(map_state.kf_octave[obs_kf, obs_feat], 0, 7)
     sigma2 = np.asarray(orb_cfg.level_sigma2())
+    octv = np.clip(map_state.kf_octave[obs_kf, obs_feat], 0, sigma2.size - 1)
     is_st = ur >= 0
     uvr = np.concatenate([uv, np.where(is_st, ur, 0.0)[:, None]], axis=1)
     inv_s2 = 1.0 / sigma2[octv]

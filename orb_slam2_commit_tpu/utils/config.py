@@ -161,16 +161,15 @@ class TrackerConfig:
     min_inliers_local_map: int = 30
     # Reference-faithful UpdateLastFrame pose re-anchoring + rebinding of
     # KF-spawning frames' trajectory entries to their own keyframe
-    # (src/Tracking.cc:971-980, :554-585). OFF by default: our local BA
-    # can move a freshly-spawned keyframe by large amounts when
-    # consecutive-frame keyframes triangulate at cm baselines, and the
-    # re-anchor faithfully feeds that instability into the motion
-    # prediction and trajectory export (measured 0.03 -> 0.23 m ATE on
-    # the synthetic mono benchmark). Flip on once fresh-keyframe local
-    # BA is damped/gated.
-    reanchor_last_frame: bool = False
-    # Two-view init parallax gate, degrees (reference passes 1.0 to the
-    # Initializer, src/Tracking.cc:684; checked against the 51st-largest
+    # (src/Tracking.cc:971-980, :554-585). The round-1 "fresh keyframe
+    # local BA instability" that forced this off was float32 rotation
+    # skew compounding through the re-anchor chain (utils/rotation.py);
+    # with SO(3) projection at host boundaries the re-anchor is strictly
+    # beneficial (0.43% vs 0.72% span ATE on the synthetic sweep).
+    reanchor_last_frame: bool = True
+    # Two-view init parallax gate, degrees (reference passes
+    # minParallax=1.0 in Initializer::Initialize -> ReconstructF/H,
+    # src/Initializer.cc:162-164; checked against the 51st-largest
     # per-point parallax, src/Initializer.cc:1276-1287). Slow sequences
     # that initialize at this floor produce ray-smeared structure (depth
     # errors correlated along rays through the init camera) that makes
@@ -178,8 +177,8 @@ class TrackerConfig:
     # compound — see scripts/diag_rot.py / diag_initmap.py.
     init_min_parallax_deg: float = 1.0
     # Parallax gate for newly triangulated map points, degrees (reference
-    # uses cosParallaxRays < 0.9998 ~ 1.15 deg, src/LocalMapping.cc:388).
-    tri_min_parallax_deg: float = 1.15
+    # uses cosParallaxRays < 0.9998, i.e. ~1.1459 deg, src/LocalMapping.cc:417).
+    tri_min_parallax_deg: float = 1.1459
     min_inliers_local_map_recent: int = 50
     search_radius_motion: float = 15.0
     search_radius_local_map: float = 3.0

@@ -1,10 +1,10 @@
 """Instrument local BA keyframe pose moves on the synthetic sequence.
 
-Reproduces the fresh-keyframe local-BA instability (see CLAUDE.md "Top
-open accuracy item"): prints, for every _local_ba call, how far each
-free keyframe's camera center moved, the fresh KF's baseline to its
-strongest covisible neighbor, and parallax statistics of the points in
-the problem.
+Instruments every _local_ba call: prints how far each free keyframe's
+camera center moved and the fresh KF's baseline to its strongest
+covisible neighbor. (Historical: this reproduced the round-1
+fresh-keyframe instability, root-caused to float32 rotation skew
+compounding — see utils/rotation.py.)
 
 Usage: PYTHONPATH=. python scripts/diag_lba.py [n_frames] [step] [--reanchor]
 """
@@ -86,9 +86,17 @@ def main():
     est = sys_.trajectory_positions()
     gt = np.asarray([-R.T @ t for R, t in poses_gt])
     offset = n_frames - est.shape[0]
-    if est.shape[0] >= 5:
-        print(f"ATE {traj.ate_rmse(est, gt[offset:]):.4f} m "
-              f"(init at {offset})")
+    if est.shape[0] >= 5 and offset >= 0:
+        # One entry per frame from a single init offset; mid-run losses or
+        # relocalizations would misalign est vs gt[offset:], so skip ATE
+        # when any entry is flagged lost.
+        lost = np.asarray([e.lost for e in sys_.tracker.trajectory], bool)
+        if lost.any():
+            print(f"{int(lost.sum())} lost entries - skipping ATE "
+                  f"(alignment would pair wrong frames)")
+        else:
+            print(f"ATE {traj.ate_rmse(est, gt[offset:]):.4f} m "
+                  f"(init at {offset})")
 
 
 if __name__ == "__main__":

@@ -28,11 +28,16 @@ def run_sequence(sys_, images, depths=None, fps=30.0):
 
 
 class TestMonocularPipeline:
+    """TUM-fr1/xyz-class geometry (lateral handheld sweep against a near
+    scene) — the sequence class the reference's published ATE numbers are
+    made on. Gate: ORB-SLAM2-class accuracy, <= 2% of trajectory span."""
+
     @pytest.fixture(scope="class")
     def mono_run(self):
         cfg = synthetic_config(width=400, height=300, n_features=1000)
         images, poses_gt, scene = synthetic.render_sequence(
-            cfg.camera, n_frames=30, n_points=400, seed=3, step=0.05
+            cfg.camera, n_frames=60, n_points=500, seed=3, step=0.025,
+            motion="sweep", depth_range=(1.5, 4.0), spread=2.0,
         )
         sys_ = System(cfg)
         est_poses = run_sequence(sys_, images)
@@ -42,7 +47,7 @@ class TestMonocularPipeline:
         sys_, est_poses, poses_gt = mono_run
         assert sys_.tracking_state() == TrackingState.OK
         tracked = sum(p is not None for p in est_poses)
-        assert tracked >= 12, tracked
+        assert tracked >= 45, tracked
         assert sys_.map.n_keyframes() >= 3
         assert sys_.map.n_points() >= 150
 
@@ -57,8 +62,37 @@ class TestMonocularPipeline:
         ok = ~lost
         rmse = traj.ate_rmse(est[ok], gt[offset:][ok], align_scale=True)
         span = np.linalg.norm(gt[-1] - gt[0])
-        # Monocular, scale-aligned: <= 8% of trajectory span.
-        assert rmse < 0.08 * span, (rmse, span)
+        # Monocular, scale-aligned: <= 2% of trajectory span
+        # (ORB-SLAM2-class; reference ATE tables are ~1% on TUM).
+        assert rmse < 0.02 * span, (rmse, span)
+
+
+class TestMonocularForward:
+    """Forward-march stress geometry: parallax vanishes toward the epipole
+    and the field of view never rotates off the initial cone — the hardest
+    monocular case. Gate looser than the sweep but still tight."""
+
+    @pytest.fixture(scope="class")
+    def fwd_run(self):
+        cfg = synthetic_config(width=400, height=300, n_features=1000)
+        images, poses_gt, scene = synthetic.render_sequence(
+            cfg.camera, n_frames=40, n_points=500, seed=3, step=0.05
+        )
+        sys_ = System(cfg)
+        est_poses = run_sequence(sys_, images)
+        return sys_, est_poses, poses_gt
+
+    def test_forward_ate(self, fwd_run):
+        sys_, est_poses, poses_gt = fwd_run
+        assert sys_.tracking_state() == TrackingState.OK
+        est = sys_.trajectory_positions()
+        lost = np.asarray([e.lost for e in sys_.tracker.trajectory], bool)
+        gt = np.asarray([-R.T @ t for R, t in poses_gt])
+        offset = len(poses_gt) - len(est)
+        ok = ~lost
+        rmse = traj.ate_rmse(est[ok], gt[offset:][ok], align_scale=True)
+        span = np.linalg.norm(gt[-1] - gt[0])
+        assert rmse < 0.03 * span, (rmse, span)
 
     def test_trajectory_export_formats(self, mono_run, tmp_path):
         sys_, _, _ = mono_run
@@ -105,4 +139,4 @@ class TestRGBDPipeline:
         # No scale alignment: RGB-D is metric.
         rmse = traj.ate_rmse(est[ok], gt[offset:][ok], align_scale=False)
         span = np.linalg.norm(gt[-1] - gt[0])
-        assert rmse < 0.06 * span, (rmse, span)
+        assert rmse < 0.015 * span, (rmse, span)
