@@ -373,9 +373,13 @@ class Tracker:
         if n_matches < 20:
             return frame, False
         binding = np.asarray(res.binding)
-        frame.point_ids = np.where(
+        pid = np.where(
             binding >= 0, last.point_ids[np.maximum(binding, 0)], INVALID
         ).astype(np.int32)
+        # Unbind pose-BA outliers, exactly as the staged path's
+        # _optimize_pose does (reference: src/Tracking.cc:1102-1119).
+        inl = np.asarray(res.inliers)
+        frame.point_ids = np.where((pid >= 0) & ~inl, INVALID, pid).astype(np.int32)
         frame.set_pose(np.asarray(res.R, np.float64), np.asarray(res.t, np.float64))
         self.n_inliers = n_in
         return frame, n_in >= self.config.tracker.min_inliers_track
@@ -477,6 +481,8 @@ class Tracker:
                 tz_rel=jnp.asarray(tz_rel),
                 mono=self.config.sensor == "monocular",
                 baseline=float(cam.baseline),
+                n_levels=self.config.orb.n_levels,
+                scale=self.config.orb.scale_factor,
             )
             idx = np.asarray(m.idx)
             n_matches = int((idx >= 0).sum())
@@ -672,6 +678,8 @@ class Tracker:
             jnp.asarray(frame.R), jnp.asarray(frame.t),
             cam.fx, cam.fy, cam.cx, cam.cy,
             float(cam.width), float(cam.height),
+            n_levels=self.config.orb.n_levels,
+            scale=self.config.orb.scale_factor,
         )
         feat_taken = frame.point_ids >= 0
         m = matchers.match_local_map(
@@ -679,6 +687,8 @@ class Tracker:
             jnp.asarray(frame.xy), jnp.asarray(frame.desc),
             jnp.asarray(frame.octave), jnp.asarray(frame.valid),
             jnp.asarray(feat_taken), th=float(th),
+            n_levels=self.config.orb.n_levels,
+            scale=self.config.orb.scale_factor,
         )
         idx = np.asarray(m.idx)
         rows = np.where(idx >= 0)[0]

@@ -66,6 +66,21 @@ class TestMonocularPipeline:
         # (ORB-SLAM2-class; reference ATE tables are ~1% on TUM).
         assert rmse < 0.02 * span, (rmse, span)
 
+    def test_trajectory_export_formats(self, mono_run, tmp_path):
+        sys_, _, _ = mono_run
+        tum = tmp_path / "traj_tum.txt"
+        kitti = tmp_path / "traj_kitti.txt"
+        kf = tmp_path / "kf_tum.txt"
+        sys_.save_trajectory_tum(str(tum))
+        sys_.save_trajectory_kitti(str(kitti))
+        sys_.save_keyframe_trajectory_tum(str(kf))
+        tum_rows = tum.read_text().strip().split("\n")
+        assert len(tum_rows) > 10
+        assert len(tum_rows[0].split()) == 8  # ts + t(3) + q(4)
+        kitti_rows = kitti.read_text().strip().split("\n")
+        assert len(kitti_rows[0].split()) == 12  # 3x4 matrix
+        assert len(kf.read_text().strip().split("\n")) == sys_.map.n_keyframes()
+
 
 class TestMonocularForward:
     """Forward-march stress geometry: parallax vanishes toward the epipole
@@ -93,21 +108,6 @@ class TestMonocularForward:
         rmse = traj.ate_rmse(est[ok], gt[offset:][ok], align_scale=True)
         span = np.linalg.norm(gt[-1] - gt[0])
         assert rmse < 0.03 * span, (rmse, span)
-
-    def test_trajectory_export_formats(self, mono_run, tmp_path):
-        sys_, _, _ = mono_run
-        tum = tmp_path / "traj_tum.txt"
-        kitti = tmp_path / "traj_kitti.txt"
-        kf = tmp_path / "kf_tum.txt"
-        sys_.save_trajectory_tum(str(tum))
-        sys_.save_trajectory_kitti(str(kitti))
-        sys_.save_keyframe_trajectory_tum(str(kf))
-        tum_rows = tum.read_text().strip().split("\n")
-        assert len(tum_rows) > 10
-        assert len(tum_rows[0].split()) == 8  # ts + t(3) + q(4)
-        kitti_rows = kitti.read_text().strip().split("\n")
-        assert len(kitti_rows[0].split()) == 12  # 3x4 matrix
-        assert len(kf.read_text().strip().split("\n")) == sys_.map.n_keyframes()
 
 
 class TestRGBDPipeline:
