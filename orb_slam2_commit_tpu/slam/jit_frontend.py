@@ -52,6 +52,8 @@ def tracking_forward_step(
         cam.fx, cam.fy, cam.cx, cam.cy,
         float(cam.width), float(cam.height),
         th=15.0,
+        n_levels=config.orb.n_levels,
+        scale=config.orb.scale_factor,
     )
 
     # Invert point->feature matches into per-feature bindings.
@@ -146,6 +148,8 @@ def _fused_match_and_pose(
             tz_rel=tz_rel,
             mono=config.sensor == "monocular",
             baseline=float(cam.baseline),
+            n_levels=config.orb.n_levels,
+            scale=config.orb.scale_factor,
         )
         return m.idx
 

@@ -180,6 +180,7 @@ class LocalMapper:
                 jnp.asarray(self.map.kf_angle[k2]), jnp.asarray(free2),
                 jnp.asarray(F12), jnp.asarray(self.map.kf_octave[k2]),
                 jnp.asarray(ep), jnp.asarray(100.0),
+                n_levels=cfg.orb.n_levels, scale=cfg.orb.scale_factor,
             )
             idx = np.asarray(m.idx)
             rows = np.where(idx >= 0)[0]
@@ -271,6 +272,8 @@ class LocalMapper:
                 jnp.asarray(self.map.kf_pose_t[target_kf]),
                 cam.fx, cam.fy, cam.cx, cam.cy,
                 float(cam.width), float(cam.height),
+                n_levels=self.config.orb.n_levels,
+                scale=self.config.orb.scale_factor,
             )
             m = matchers.match_fuse(
                 info, jnp.asarray(self.map.pt_desc[pt_ids]),
@@ -278,6 +281,8 @@ class LocalMapper:
                 jnp.asarray(self.map.kf_desc[target_kf]),
                 jnp.asarray(self.map.kf_octave[target_kf]),
                 jnp.asarray(self.map.kf_feat_valid[target_kf]),
+                n_levels=self.config.orb.n_levels,
+                scale=self.config.orb.scale_factor,
             )
             idx = np.asarray(m.idx)
             obs_counts = self.map.observation_count()

@@ -261,6 +261,8 @@ class LoopCloser:
                     jnp.asarray(self.map.kf_octave[kf]),
                     jnp.asarray(self.map.kf_feat_valid[kf]),
                     th=8.0,
+                    n_levels=self.config.orb.n_levels,
+                    scale=self.config.orb.scale_factor,
                 )
                 i2 = np.asarray(m2.idx)
                 r2 = np.where(i2 >= 0)[0]

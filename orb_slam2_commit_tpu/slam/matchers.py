@@ -88,7 +88,9 @@ def match_for_initialization(
     return matching.resolve_duplicate_targets(m, desc2.shape[0])
 
 
-@functools.partial(jax.jit, static_argnames=("th", "mono", "baseline"))
+@functools.partial(
+    jax.jit, static_argnames=("th", "mono", "baseline", "n_levels", "scale")
+)
 def match_projection_last_frame(
     # Last frame's bound points (world) + feature attributes:
     pt_pos: jnp.ndarray,       # [M, 3]
@@ -107,6 +109,8 @@ def match_projection_last_frame(
                                # frame's coords (tlc.z, only used if !mono)
     mono: bool = True,
     baseline: float = 0.0,
+    n_levels: int = 8,
+    scale: float = 1.2,
 ) -> MatchResult:
     """Motion-model tracking: project last frame's map points with the
     predicted pose and search a window scaled by the source octave.
@@ -118,7 +122,7 @@ def match_projection_last_frame(
     baseline -> features appear coarser, search octave >= last octave;
     moved backward -> octave <= last.
     """
-    sigmas = _scale_sigmas()
+    sigmas = _scale_sigmas(n_levels, scale)
     pc = jnp.einsum("ij,mj->mi", R, pt_pos) + t
     z = pc[:, 2]
     inv_z = 1.0 / jnp.where(z > 1e-6, z, 1e-6)
@@ -153,7 +157,7 @@ class FrustumInfo(NamedTuple):
     view_cos: jnp.ndarray       # [M]
 
 
-@jax.jit
+@functools.partial(jax.jit, static_argnames=("n_levels", "scale"))
 def frustum_check(
     pt_pos: jnp.ndarray,       # [M, 3]
     pt_normal: jnp.ndarray,    # [M, 3]
@@ -163,6 +167,7 @@ def frustum_check(
     R: jnp.ndarray, t: jnp.ndarray,
     fx: float, fy: float, cx: float, cy: float,
     width: float, height: float,
+    n_levels: int = 8, scale: float = 1.2,
 ) -> FrustumInfo:
     """Frame::isInFrustum (src/Frame.cc:315-378): image bounds, distance
     band [0.8 min, 1.2 max], viewing angle cos >= 0.5, predicted scale
@@ -179,7 +184,7 @@ def frustum_check(
     dist = jnp.linalg.norm(po, axis=1)
     view_cos = jnp.sum(po * pt_normal, axis=1) / jnp.maximum(dist, 1e-9)
 
-    n_levels, log_scale = 8, jnp.log(1.2)
+    log_scale = jnp.log(scale)
     ratio = pt_max_dist / jnp.maximum(dist, 1e-9)
     pred = jnp.ceil(jnp.log(jnp.maximum(ratio, 1e-9)) / log_scale).astype(jnp.int32)
     pred = jnp.clip(pred, 0, n_levels - 1)
@@ -195,7 +200,9 @@ def frustum_check(
     return FrustumInfo(visible, proj, pred, view_cos)
 
 
-@functools.partial(jax.jit, static_argnames=("th", "ratio"))
+@functools.partial(
+    jax.jit, static_argnames=("th", "ratio", "n_levels", "scale")
+)
 def match_local_map(
     info: FrustumInfo,
     pt_desc: jnp.ndarray,      # [M, 8]
@@ -203,6 +210,7 @@ def match_local_map(
     octave: jnp.ndarray, valid: jnp.ndarray,
     feat_taken: jnp.ndarray,   # [N] features already bound by motion tracking
     th: float = 1.0, ratio: float = 0.8,
+    n_levels: int = 8, scale: float = 1.2,
 ) -> MatchResult:
     """Local-map point -> frame matching after frustum_check.
 
@@ -212,7 +220,7 @@ def match_local_map(
     [pred-1, pred], TH_HIGH, ratio 0.8 when best and second-best share an
     octave.
     """
-    sigmas = _scale_sigmas()
+    sigmas = _scale_sigmas(n_levels, scale)
     base_r = jnp.where(info.view_cos > 0.998, 2.5, 4.0)
     radius = base_r * th * sigmas[info.pred_octave]
     m = _projection_match(
@@ -249,7 +257,7 @@ def match_brute_force(
     return matching.resolve_duplicate_targets(m, desc_b.shape[0])
 
 
-@functools.partial(jax.jit, static_argnames=())
+@functools.partial(jax.jit, static_argnames=("n_levels", "scale"))
 def match_for_triangulation(
     xy1: jnp.ndarray, desc1: jnp.ndarray, angle1: jnp.ndarray,
     free1: jnp.ndarray,
@@ -259,6 +267,7 @@ def match_for_triangulation(
     octave2: jnp.ndarray,
     epipole2: jnp.ndarray,     # [2] projection of camera-1 center in image 2
     min_epipole_dist2: jnp.ndarray,  # scalar: min sq px distance to epipole
+    n_levels: int = 8, scale: float = 1.2,
 ) -> MatchResult:
     """KF1 -> KF2 matches for new-point triangulation.
 
@@ -267,7 +276,7 @@ def match_for_triangulation(
     (CheckDistEpipolarLine :153-173), epipole proximity rejection
     (:831-838), TH_LOW, rotation histogram.
     """
-    sigmas2 = _scale_sigmas() ** 2
+    sigmas2 = _scale_sigmas(n_levels, scale) ** 2
     sig2 = sigmas2[jnp.clip(octave2, 0, sigmas2.shape[0] - 1)]
     dist = matching.hamming_distance_matrix(desc1, desc2)
     de = xy2 - epipole2[None]
@@ -282,13 +291,14 @@ def match_for_triangulation(
     return matching.resolve_duplicate_targets(m, desc2.shape[0])
 
 
-@functools.partial(jax.jit, static_argnames=("th",))
+@functools.partial(jax.jit, static_argnames=("th", "n_levels", "scale"))
 def match_fuse(
     info: FrustumInfo,
     pt_desc: jnp.ndarray,
     xy: jnp.ndarray, desc: jnp.ndarray,
     octave: jnp.ndarray, valid: jnp.ndarray,
     th: float = 3.0,
+    n_levels: int = 8, scale: float = 1.2,
 ) -> MatchResult:
     """Project map points into a keyframe for duplicate fusion.
 
@@ -296,7 +306,7 @@ def match_fuse(
     th * sigma(predicted level), octaves [pred-1, pred+1], TH_LOW. The host
     decides merge vs bind per returned match (reference :1061-1082).
     """
-    sigmas = _scale_sigmas()
+    sigmas = _scale_sigmas(n_levels, scale)
     radius = th * sigmas[info.pred_octave]
     m = _projection_match(
         pt_desc, info.proj, radius,
