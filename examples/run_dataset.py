@@ -11,8 +11,12 @@ Usage:
   python examples/run_dataset.py kitti-stereo <seq_dir> <settings.yaml> [out_prefix]
   python examples/run_dataset.py euroc-mono <seq_dir> <settings.yaml> [out_prefix]
 
-Optional flags: --vocab <voc.txt> enables place recognition + loop closing;
---localization runs in pure localization mode against --map <map.npz>.
+Out of the box this runs the reference architecture (src/System.cc:95-107):
+async local mapping + loop closing with the bundled vocabulary. Flags:
+  --sync             synchronous deterministic pipeline (mapping inline)
+  --no-vocab         disable place recognition + loop closing
+  --vocab=<path>     use a specific vocabulary (.npz or ORBvoc.txt layout)
+  --localization     pure localization mode against --map=<map.npz>
 """
 
 import sys
@@ -83,8 +87,13 @@ def main(argv):
         print(__doc__)
         return 1
 
-    vocab = flags.get("--vocab")
-    sys_ = System(cfg, vocabulary=vocab)
+    vocab = flags.get("--vocab", "default")
+    if flags.get("--no-vocab"):
+        vocab = None
+    sys_ = System(
+        cfg, vocabulary=vocab,
+        async_mapping=False if flags.get("--sync") else True,
+    )
     if flags.get("--map"):
         sys_.load_map(flags["--map"])
     if flags.get("--localization"):

@@ -329,6 +329,36 @@ class BinaryVocabulary:
         )
 
 
+_DEFAULT_VOC_CACHE: list = []
+
+
+def default_vocabulary() -> Optional["BinaryVocabulary"]:
+    """The bundled default vocabulary (data/default_voc.npz, trained by
+    scripts/train_vocab.py at DBoW2-class scale), loaded once per process.
+    Returns None when the file is absent — the counterpart of the
+    reference's mandatory ORBvoc.txt load (src/System.cc:61-77), made
+    optional so the engine still runs without place recognition."""
+    if not _DEFAULT_VOC_CACHE:
+        import os
+
+        path = os.path.join(
+            os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+            "data", "default_voc.npz",
+        )
+        _DEFAULT_VOC_CACHE.append(
+            BinaryVocabulary.load_npz(path) if os.path.exists(path) else None
+        )
+    return _DEFAULT_VOC_CACHE[0]
+
+
+def load_vocabulary(path: str) -> "BinaryVocabulary":
+    """Load a vocabulary, dispatching on extension: .npz (the bundled
+    binary format) or the reference's ORBvoc.txt row layout."""
+    if path.endswith(".npz"):
+        return BinaryVocabulary.load_npz(path)
+    return BinaryVocabulary.load_text(path)
+
+
 @functools.partial(jax.jit, static_argnums=(4, 5))
 def _transform_device(
     desc: jnp.ndarray,

@@ -24,19 +24,35 @@ from orb_slam2_commit_tpu.utils.config import SLAMConfig
 
 
 class System:
-    def __init__(self, config: SLAMConfig, vocabulary=None,
-                 async_mapping: bool = False):
-        """vocabulary: optional BinaryVocabulary (or path to a saved one).
-        When given, the keyframe database, BoW relocalization candidates
-        and the loop-closing stage are enabled — the full reference
-        pipeline (src/System.cc:61-100 loads ORBvoc.txt and builds the
-        KeyFrameDatabase + LoopClosing thread).
+    def __init__(self, config: SLAMConfig, vocabulary="default",
+                 async_mapping: Optional[bool] = None):
+        """vocabulary: BinaryVocabulary, path (.npz or ORBvoc.txt layout),
+        "default" (the bundled data/default_voc.npz when
+        config.system.use_vocabulary, as the reference unconditionally
+        loads ORBvoc.txt, src/System.cc:61-77), or None/False to disable.
+        With a vocabulary, the keyframe database, BoW relocalization
+        candidates and the loop-closing stage are enabled — the full
+        reference pipeline (src/System.cc:61-100).
 
-        async_mapping=True runs local mapping (+ loop closing) on a
-        background thread with a keyframe queue, like the reference's
-        LocalMapping/LoopClosing threads (src/System.cc:95-100); False
-        keeps the deterministic synchronous pipeline."""
+        async_mapping: run local mapping (+ loop closing) on a background
+        thread with a keyframe queue, like the reference's
+        LocalMapping/LoopClosing threads (src/System.cc:95-100); False is
+        the deterministic synchronous pipeline; None takes
+        config.system.async_mapping (True out of the box)."""
         self.config = config
+        if async_mapping is None:
+            async_mapping = config.system.async_mapping
+        if isinstance(vocabulary, str) and vocabulary == "default":
+            if config.system.use_vocabulary:
+                from orb_slam2_commit_tpu.models.vocabulary import (
+                    default_vocabulary,
+                )
+
+                vocabulary = default_vocabulary()
+            else:
+                vocabulary = None
+        if vocabulary is False:
+            vocabulary = None
         # Monocular initialization extracts 2x features, like the
         # reference's dedicated init extractor (src/Tracking.cc:120-126).
         self.init_config = dataclasses.replace(
@@ -61,10 +77,10 @@ class System:
         self.loop_closer = None
         if vocabulary is not None:
             from orb_slam2_commit_tpu.models.kf_database import KeyFrameDatabase
-            from orb_slam2_commit_tpu.models.vocabulary import BinaryVocabulary
+            from orb_slam2_commit_tpu.models.vocabulary import load_vocabulary
 
             if isinstance(vocabulary, str):
-                vocabulary = BinaryVocabulary.load_text(vocabulary)
+                vocabulary = load_vocabulary(vocabulary)
             self.vocabulary = vocabulary
             self.kf_database = KeyFrameDatabase(
                 vocabulary, config.map.max_keyframes

@@ -234,6 +234,22 @@ class MapConfig:
 
 
 @dataclasses.dataclass(frozen=True)
+class SystemConfig:
+    """Pipeline architecture defaults.
+
+    The reference unconditionally loads ORBvoc.txt and spawns the
+    LocalMapping/LoopClosing/Viewer threads (src/System.cc:61-107); the
+    same architecture is the out-of-box default here. Tests and
+    deterministic tooling opt out via synthetic_config (sync mapping)."""
+
+    # Run local mapping + loop closing on a background worker thread.
+    async_mapping: bool = True
+    # Load the bundled vocabulary (place recognition + loop closing on)
+    # when System() is constructed without an explicit one.
+    use_vocabulary: bool = True
+
+
+@dataclasses.dataclass(frozen=True)
 class SLAMConfig:
     """Top-level engine configuration."""
 
@@ -242,6 +258,7 @@ class SLAMConfig:
     matcher: MatcherConfig = MatcherConfig()
     tracker: TrackerConfig = TrackerConfig()
     map: MapConfig = MapConfig()
+    system: SystemConfig = SystemConfig()
     sensor: str = "monocular"  # monocular | stereo | rgbd
 
     def __post_init__(self):
@@ -276,4 +293,9 @@ def synthetic_config(
         bf=0.3 * f if sensor != "monocular" else 0.0,
         th_depth=40.0,
     )
-    return SLAMConfig(camera=cam, orb=ORBConfig(n_features=n_features), sensor=sensor)
+    return SLAMConfig(
+        camera=cam, orb=ORBConfig(n_features=n_features), sensor=sensor,
+        # Deterministic synchronous pipeline for tests/tools; the bundled
+        # vocabulary (place recognition) stays on, matching the reference.
+        system=SystemConfig(async_mapping=False),
+    )
