@@ -175,7 +175,8 @@ def _sum_to_points(ss: _SegSums, vals: jnp.ndarray, P: int) -> jnp.ndarray:
 
 
 def _schur_pcg(Hcc_d, Hpp_inv, Hcp_o, obs, ss, b, fixed, axis_name,
-               n_iters: int = 64, tol: float = 1e-8):
+               n_iters: int = 64, tol: float = 1e-8,
+               point_sharded: bool = False):
     """Solve S dc = b with S = Hcc_d - W Hpp^-1 W^T WITHOUT materializing
     S or W: the matvec streams over observations (two segment-sums + two
     batched small matmuls), block-Jacobi preconditioned by Hcc_d^-1.
@@ -186,7 +187,13 @@ def _schur_pcg(Hcc_d, Hpp_inv, Hcp_o, obs, ss, b, fixed, axis_name,
     while each CG iteration here is O(O) segment-sum bandwidth. Under
     observation sharding (axis_name), partial segment-sums are psum'd,
     so the matvec — and therefore the whole solve — is replicated-exact
-    across devices."""
+    across devices.
+
+    point_sharded: points (and every observation of each point) live on
+    exactly one device — the point-side segment-sum u is complete locally
+    and must NOT be psum'd; only the [K, 6] camera-side vector y2 rides
+    the interconnect. One psum of 24K bytes per CG iteration, independent
+    of P and O — the scalable communication shape."""
     K = Hcc_d.shape[0]
     P = Hpp_inv.shape[0]
     dtype = b.dtype
@@ -195,7 +202,7 @@ def _schur_pcg(Hcc_d, Hpp_inv, Hcp_o, obs, ss, b, fixed, axis_name,
         y = jnp.einsum("kab,kb->ka", Hcc_d, x)
         xo = x[obs.cam_idx]           # [O, 6]
         u = _sum_to_points(ss, jnp.einsum("oab,oa->ob", Hcp_o, xo), P)
-        if axis_name is not None:
+        if axis_name is not None and not point_sharded:
             u = jax.lax.psum(u, axis_name)
         v = jnp.einsum("pab,pb->pa", Hpp_inv, u)
         vo = v[obs.pt_idx]
@@ -241,7 +248,7 @@ def _schur_pcg(Hcc_d, Hpp_inv, Hcp_o, obs, ss, b, fixed, axis_name,
 
 def _solve_step(problem: BAProblem, cam_params, use_robust, active, lam,
                 point_chunk: int, axis_name=None, solver: str = "dense",
-                ss: _SegSums | None = None):
+                ss: _SegSums | None = None, point_sharded: bool = False):
     """One damped Gauss-Newton step. Returns (delta_c [K,6], delta_p [P,3])."""
     K = problem.R.shape[0]
     P = problem.points.shape[0]
@@ -265,9 +272,13 @@ def _solve_step(problem: BAProblem, cam_params, use_robust, active, lam,
     g_p = _sum_to_points(ss, jnp.einsum("ora,or->oa", Jp_w, e), P)
     if axis_name is not None:
         Hcc = jax.lax.psum(Hcc, axis_name)
-        Hpp = jax.lax.psum(Hpp, axis_name)
         g_c = jax.lax.psum(g_c, axis_name)
-        g_p = jax.lax.psum(g_p, axis_name)
+        if not point_sharded:
+            # Observation-sharded, points replicated: point-side partial
+            # sums span devices. Point-sharded: every observation of a
+            # point is local, Hpp/g_p are complete as-is.
+            Hpp = jax.lax.psum(Hpp, axis_name)
+            g_p = jax.lax.psum(g_p, axis_name)
 
     # LM damping (diagonal scaling) + tiny Tikhonov for rank-safety.
     eye6 = jnp.eye(6, dtype=dtype)
@@ -296,13 +307,14 @@ def _solve_step(problem: BAProblem, cam_params, use_robust, active, lam,
         b_s = g_c - b_corr
         # Same sign convention as the dense path: delta_c = -S^-1 b_s.
         delta_c = _schur_pcg(
-            Hcc_d, Hpp_inv, Hcp_o, obs, ss, -b_s, problem.fixed, axis_name
+            Hcc_d, Hpp_inv, Hcp_o, obs, ss, -b_s, problem.fixed, axis_name,
+            point_sharded=point_sharded,
         )
         dc_per_obs = delta_c[obs.cam_idx]
         Hpc_dc = _sum_to_points(
             ss, jnp.einsum("oab,oa->ob", Hcp_o, dc_per_obs), P
         )
-        if axis_name is not None:
+        if axis_name is not None and not point_sharded:
             Hpc_dc = jax.lax.psum(Hpc_dc, axis_name)
         delta_p = -jnp.einsum("pab,pb->pa", Hpp_inv, g_p + Hpc_dc)
         delta_p = jnp.where(problem.point_valid[:, None], delta_p, 0.0)
@@ -388,12 +400,21 @@ def bundle_adjust(
     lam0: float = 1e-4,
     axis_name: str | None = None,
     solver: str = "auto",
+    point_sharded: bool = False,
 ) -> Tuple[BAProblem, BAResult]:
     """Run n_iters of LM. Returns the updated problem + diagnostics.
 
     With axis_name set (inside shard_map over an observation-sharded mesh
     axis), partial Hessian blocks are psum'd so every device takes the same
     globally-consistent step — the distributed BA of SURVEY.md §2.4 P4.
+
+    point_sharded=True is the scale shape (parallel/distributed_ba
+    partition_problem): each device owns a contiguous point range AND all
+    observations of those points; Hpp / Hpp_inv / g_p / delta_p and every
+    point-side segment-sum stay sharded (per-device point memory and
+    compute are 1/n_devices), and only [K, 6]-shaped camera vectors are
+    psum'd. Forces the pcg solver (the dense Schur materializes a
+    replicated [6K, 6K], which is exactly what this mode exists to avoid).
 
     solver: "dense" materializes the Schur complement and Cholesky-solves
     it (exact; right for local-BA-sized problems), "pcg" runs implicit
@@ -403,7 +424,9 @@ def bundle_adjust(
     f32 LU of the dense S). "auto" switches to pcg at K >= 64; verified
     against a full-dense oracle to 3e-5 (dense path to 2e-14).
     """
-    if solver == "auto":
+    if point_sharded:
+        solver = "pcg"
+    elif solver == "auto":
         solver = "pcg" if problem.R.shape[0] >= 64 else "dense"
     cam_params = (fx, fy, cx, cy, bf)
     obs = problem.obs
@@ -432,20 +455,21 @@ def bundle_adjust(
         i, p, lam, cost, _conv = state
         delta_c, delta_p = _solve_step(
             p, cam_params, use_robust, active, lam, point_chunk, axis_name,
-            solver, ss,
+            solver, ss, point_sharded,
         )
         p_new = _apply_step(p, delta_c, delta_p)
         new_cost = cost_of(p_new)
         accept = new_cost < cost
-        step_sq = jnp.sum(delta_c * delta_c) + jnp.sum(delta_p * delta_p)
+        dp_sq = jnp.sum(delta_p * delta_p)
+        if axis_name is not None and point_sharded:
+            # delta_p is a device-local shard; the convergence predicate
+            # must agree across devices, so reduce its norm. delta_c is
+            # already replicated (the PCG solve psums its matvecs).
+            dp_sq = jax.lax.psum(dp_sq, axis_name)
+        step_sq = jnp.sum(delta_c * delta_c) + dp_sq
         # Dtype-aware convergence floor (see optim/pose_opt.py): 1e-16 is
         # unreachable in float32, where LM stalls near |delta| ~ 1e-6.
         step_eps = 1e-16 if problem.points.dtype == jnp.float64 else 1e-10
-        if axis_name is not None:
-            # delta_c is replicated, delta_p chunk is replicated too (the
-            # solve already psum'd); no further reduction needed, but keep
-            # the guard explicit for future sharded variants.
-            pass
         converged = accept & (step_sq < step_eps)
         p_out = jax.tree.map(
             lambda a, b: jnp.where(accept, b, a), p, p_new
@@ -476,7 +500,7 @@ bundle_adjust_jit = jax.jit(
     bundle_adjust,
     static_argnames=(
         "fx", "fy", "cx", "cy", "bf", "n_iters", "use_robust",
-        "point_chunk", "lam0", "axis_name", "solver",
+        "point_chunk", "lam0", "axis_name", "solver", "point_sharded",
     ),
 )
 
