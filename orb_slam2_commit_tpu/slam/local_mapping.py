@@ -110,19 +110,30 @@ class LocalMapper:
     # ------------------------------------------------------------------
 
     def _fundamental_from_poses(self, k1: int, k2: int) -> np.ndarray:
-        """F12 from the two keyframe poses (oracle: ComputeF12,
-        src/LocalMapping.cc:672-699)."""
+        """Fundamental matrix between two keyframes, in the convention of
+        ops/matching.epipolar_mask: l2 = F @ x1 is the epipolar line of an
+        image-1 point in image 2 (x2^T F x1 = 0), so F is built from the
+        1->2 relative pose X2 = R21 X1 + t21.
+
+        Oracle: ComputeF12 (src/LocalMapping.cc:672-699) builds the
+        TRANSPOSED storage (from the 2->1 pose) because its
+        CheckDistEpipolarLine indexes F column-wise (src/ORBmatcher.cc:
+        156-158, kp1.x*F[0][0] + kp1.y*F[1][0] + F[2][0] == F^T x1); with
+        row-wise math the 1->2 build is the equivalent. The two agree up
+        to scale only when R is near identity ([t]x antisymmetry), which
+        is why a transposed build passes low-yaw sequences but rejects
+        every true match on rotation-heavy ones."""
         cam = self.config.camera
         K = np.asarray(cam.k_matrix)
         R1, t1 = self.map.kf_pose_R[k1], self.map.kf_pose_t[k1]
         R2, t2 = self.map.kf_pose_R[k2], self.map.kf_pose_t[k2]
-        R12 = R1 @ R2.T
-        t12 = -R12 @ t2 + t1
+        R21 = R2 @ R1.T
+        t21 = -R21 @ t1 + t2
         tx = np.array(
-            [[0, -t12[2], t12[1]], [t12[2], 0, -t12[0]], [-t12[1], t12[0], 0]]
+            [[0, -t21[2], t21[1]], [t21[2], 0, -t21[0]], [-t21[1], t21[0], 0]]
         )
         Kinv = np.linalg.inv(K)
-        return Kinv.T @ tx @ R12 @ Kinv
+        return Kinv.T @ tx @ R21 @ Kinv
 
     def _create_new_points(self, kf: int) -> None:
         """Oracle: CreateNewMapPoints (src/LocalMapping.cc:281-558)."""
@@ -325,17 +336,21 @@ class LocalMapper:
         free = current KF + covisible; fixed = second ring; points of the
         free set; two-stage robust/non-robust LM with outlier erasure."""
         cam = self.config.camera
+        tcfg = self.config.tracker
+        max_free = tcfg.lba_max_free_kfs
+        max_fixed = tcfg.lba_max_fixed_kfs
+        max_pts = tcfg.lba_max_points
         # The reference's local window is UNBOUNDED (all covisible KFs +
         # every second-ring observer, src/Optimizer.cc:533-587); we bucket
         # shapes for compile reuse but never drop silently — truncation is
         # logged so dense-map runs are auditable.
         all_covis = [int(k) for k in self.map.covisible_keyframes(kf, None,
                                                                  min_weight=15)]
-        free = [int(kf)] + all_covis[:63]
-        if len(all_covis) > 63:
+        free = [int(kf)] + all_covis[: max_free - 1]
+        if len(all_covis) > max_free - 1:
             _LOG.warning(
-                "local BA: truncating free window %d -> 64 KFs (kf=%d)",
-                len(all_covis) + 1, kf,
+                "local BA: truncating free window %d -> %d KFs (kf=%d)",
+                len(all_covis) + 1, max_free, kf,
             )
         # The first keyframe is ALWAYS held fixed when it participates
         # (reference: vSE3->setFixed(pKFi->mnId==0), src/Optimizer.cc:633;
@@ -347,11 +362,12 @@ class LocalMapper:
         pts = np.unique(self.map.kf_point_idx[np.asarray(free)])
         pts = pts[pts >= 0]
         pts = pts[self.map.pt_valid[pts]]
-        if pts.size > 8192:
+        if pts.size > max_pts:
             _LOG.warning(
-                "local BA: truncating points %d -> 8192 (kf=%d)", pts.size, kf
+                "local BA: truncating points %d -> %d (kf=%d)",
+                pts.size, max_pts, kf,
             )
-            pts = pts[:8192]
+            pts = pts[:max_pts]
         if pts.size < 10:
             return
         # Fixed second ring: KFs observing those points but not free.
@@ -361,12 +377,15 @@ class LocalMapper:
             if int(k) in free_set or int(k) in always_fixed:
                 continue
             if np.isin(self.map.kf_point_idx[k], pts).any():
-                if len(fixed) >= 64:
+                if len(fixed) >= max_fixed:
                     truncated_fixed = True
                     break
                 fixed.append(int(k))
         if truncated_fixed:
-            _LOG.warning("local BA: truncating fixed ring at 64 KFs (kf=%d)", kf)
+            _LOG.warning(
+                "local BA: truncating fixed ring at %d KFs (kf=%d)",
+                max_fixed, kf,
+            )
         if not fixed:
             # Gauge: anchor the oldest free keyframe.
             anchor = min(free)

@@ -104,10 +104,14 @@ def render(
     cam: CameraConfig,
     background: float = 96.0,
     with_depth: bool = False,
+    max_depth: float = np.inf,
 ):
     """Render image [H, W] float32 from camera pose (world -> camera).
     With with_depth=True also returns a depth map (0 where no landmark —
-    the invalid-depth convention of TUM RGB-D)."""
+    the invalid-depth convention of TUM RGB-D). max_depth culls landmarks
+    beyond it — an opaque-wall surrogate for scenes that surround the
+    camera (ring_scene), where the sprite renderer would otherwise draw
+    the far side through the near wall."""
     h, w = cam.height, cam.width
     img = np.full((h, w), background, dtype=np.float32)
     depth = np.zeros((h, w), dtype=np.float32)
@@ -117,7 +121,7 @@ def render(
     half = scene.patch_half
     s = 2 * half + 1
     for i in order:
-        if z[i] < 0.5:
+        if z[i] < 0.5 or z[i] > max_depth:
             continue
         u = cam.fx * pc[i, 0] / z[i] + cam.cx
         v = cam.fy * pc[i, 1] / z[i] + cam.cy
@@ -251,6 +255,91 @@ def render_sequence(
         depths = np.stack([r[1] for r in rendered])
         return images, poses, scene, depths
     images = np.stack([render(scene, R, t, cam) for R, t in poses])
+    return images, poses, scene
+
+
+def ring_scene(
+    rng: np.random.Generator,
+    n_points: int = 700,
+    center: np.ndarray = None,
+    radius_range: Tuple[float, float] = (6.0, 12.0),
+    height: float = 2.5,
+    patch_size: int = 15,
+) -> Scene:
+    """Landmark annulus surrounding a closed camera path (KITTI-00-class
+    loop geometry): points distributed over all azimuths at
+    radius_range from `center`, so a camera circling inside with
+    tangential heading sees a different sector at every angle — and the
+    SAME sector when it returns. Patch texture identical to make_scene."""
+    if center is None:
+        center = np.zeros(3)
+    # Jittered (azimuth, height) grid instead of uniform draws: the sprite
+    # renderer splats every landmark at a fixed pixel size, so clustered
+    # landmarks overlap and their boundary intersections out-respond the
+    # real corners; near-even spacing keeps the extracted features on the
+    # actual landmarks.
+    n_az = int(np.ceil(np.sqrt(n_points * 8)))
+    n_h = -(-n_points // n_az)
+    az_idx, h_idx = np.meshgrid(np.arange(n_az), np.arange(n_h))
+    az_idx = az_idx.reshape(-1)[:n_points]
+    h_idx = h_idx.reshape(-1)[:n_points]
+    phi = (az_idx + rng.uniform(0.15, 0.85, n_points)) * (2.0 * np.pi / n_az)
+    y_g = (h_idx + rng.uniform(0.15, 0.85, n_points)) / n_h
+    rad = rng.uniform(*radius_range, n_points)
+    x = center[0] + rad * np.sin(phi)
+    z = center[2] + rad * np.cos(phi)
+    y = center[1] + (2.0 * y_g - 1.0) * height
+    points = np.stack([x, y, z], axis=-1)
+
+    proto = make_scene(rng, n_points=n_points, patch_size=patch_size)
+    return Scene(points=points.astype(np.float64),
+                 patches=proto.patches, patch_half=proto.patch_half)
+
+
+def loop_trajectory(
+    n_frames: int,
+    radius: float = 2.0,
+    frac: float = 1.25,
+) -> List[Tuple[np.ndarray, np.ndarray]]:
+    """Closed circular survey with tangential heading: the camera starts
+    at the origin looking +z, drives a circle of `radius` (center at
+    (radius, 0, 0)) and — with frac > 1 — re-traverses the first sectors
+    after completing the revolution, revisiting its own keyframes with
+    whatever drift tracking accumulated. Returns (R_cw, t_cw) per frame."""
+    poses = []
+    for k in range(n_frames):
+        th = 2.0 * np.pi * frac * k / max(n_frames - 1, 1)
+        c = np.array([radius * (1.0 - np.cos(th)), 0.0, radius * np.sin(th)])
+        cy, sy = np.cos(th), np.sin(th)
+        R_wc = np.array([[cy, 0, sy], [0, 1, 0], [-sy, 0, cy]])
+        R_cw = R_wc.T
+        t_cw = -R_cw @ c
+        poses.append((R_cw, t_cw))
+    return poses
+
+
+def render_loop_sequence(
+    cam: CameraConfig,
+    n_frames: int = 120,
+    n_points: int = 900,
+    seed: int = 0,
+    radius: float = 2.0,
+    frac: float = 1.2,
+    radius_range: Tuple[float, float] = (7.0, 9.0),
+    max_depth: float = 12.0,
+):
+    """Images + ground-truth poses + scene for a loop-closure sequence:
+    ring_scene around the circular path of loop_trajectory, far side of
+    the ring occluded (max_depth) like an opaque wall would."""
+    rng = np.random.default_rng(seed)
+    scene = ring_scene(
+        rng, n_points=n_points, center=np.array([radius, 0.0, 0.0]),
+        radius_range=radius_range,
+    )
+    poses = loop_trajectory(n_frames, radius=radius, frac=frac)
+    images = np.stack(
+        [render(scene, R, t, cam, max_depth=max_depth) for R, t in poses]
+    )
     return images, poses, scene
 
 
