@@ -81,7 +81,8 @@ class DirectoryWatchSource(FrameSource):
                 yield time.time(), _load_gray(os.path.join(self.path, f))
 
 
-def run_live(source, config, vocab=None, drop_when_behind=True, fps=30.0):
+def run_live(source, config, vocab="default", drop_when_behind=True,
+             fps=30.0, viewer_dir=None, use_viewer=False):
     """Pump a FrameSource through the System online.
 
     drop_when_behind mirrors a ROS subscriber queue of depth 1: when
@@ -89,10 +90,21 @@ def run_live(source, config, vocab=None, drop_when_behind=True, fps=30.0):
     periods by arrival time) are skipped so the tracker always sees the
     freshest image. Newer-than-stale frames are still tracked, because
     skipping them would break the constant-velocity motion model.
+
+    use_viewer starts the live render thread (slam/viewer.ViewerLoop —
+    the reference's Viewer thread, src/Viewer.cc:55-243); viewer_dir
+    additionally streams rendered frames as PNGs into that directory.
     """
     from orb_slam2_commit_tpu.slam.system import System
 
     system = System(config, vocabulary=vocab)
+    viewer = None
+    if use_viewer or viewer_dir is not None:
+        from orb_slam2_commit_tpu.slam.viewer import ViewerLoop
+
+        viewer = ViewerLoop(
+            system, fps=fps, stream_dir=viewer_dir
+        ).start()
     n_in = n_tracked = n_dropped = 0
     stale_s = 1.5 / fps
     t_start = time.time()
@@ -104,8 +116,13 @@ def run_live(source, config, vocab=None, drop_when_behind=True, fps=30.0):
             n_dropped += 1
             continue
         pose = system.track_monocular(image, ts)
+        if viewer is not None:
+            viewer.update(system.tracker.last_frame, image)
         if pose is not None:
             n_tracked += 1
+    if viewer is not None:
+        viewer.join(timeout=5.0)
+        print(f"viewer: {viewer.n_rendered} renders")
     system.shutdown()
     print(
         f"stream done: {n_in} frames in, {n_tracked} tracked, "
@@ -116,13 +133,15 @@ def run_live(source, config, vocab=None, drop_when_behind=True, fps=30.0):
 
 def main(argv):
     flags = {a.split("=")[0]: (a.split("=") + [True])[1] for a in argv}
+    use_viewer = "--viewer" in flags
+    viewer_dir = flags.get("--viewer-dir")
     if "--sim" in flags:
         from orb_slam2_commit_tpu.utils.config import synthetic_config
 
         n = int(flags.get("--frames", 30))
         config = synthetic_config(width=400, height=300, n_features=1000)
         src = SyntheticSource(config, n_frames=n)
-        run_live(src, config)
+        run_live(src, config, use_viewer=use_viewer, viewer_dir=viewer_dir)
     elif "--watch" in flags:
         from orb_slam2_commit_tpu.utils import settings
 
@@ -130,7 +149,7 @@ def main(argv):
             flags["--settings"], sensor="monocular"
         )
         src = DirectoryWatchSource(flags["--watch"])
-        run_live(src, config)
+        run_live(src, config, use_viewer=use_viewer, viewer_dir=viewer_dir)
     else:
         print(__doc__)
         return 1

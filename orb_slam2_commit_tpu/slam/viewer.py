@@ -187,3 +187,144 @@ def save_png(path: str, image: np.ndarray) -> None:
     from PIL import Image
 
     Image.fromarray(image).save(path)
+
+
+class ViewerLoop:
+    """Live render loop on its own thread — the reference Viewer thread
+    (src/Viewer.cc:55-243): redraws the frame overlay + map view at the
+    camera fps (mT pacing, :46-52,:58), with the same menu surface as the
+    Pangolin panel (:64-71) exposed as toggles:
+
+      follow_camera       menuFollowCamera (:66,:99-120)
+      show_points/graph   menuShowPoints/menuShowGraph (:67-68)
+      set_localization_mode(bool)  menuLocalizationMode (:69,:122-133)
+      request_reset()     menuReset (:70,:135-152)
+      request_finish/is_finished/request_stop/release
+                          the thread protocol (:180-243)
+
+    Headless output: the latest rendered surfaces are kept in
+    .frame_view / .map_view (numpy, lock-protected) for any sink —
+    test assertions, PNG streaming (stream_dir), or an external UI
+    polling them. The SLAM side only has to call update(frame, image)
+    after each tracked frame, like FrameDrawer::Update."""
+
+    def __init__(self, system, fps: float = 30.0, map_size: int = 512,
+                 stream_dir: Optional[str] = None):
+        import threading
+
+        self.system = system
+        self.period = 1.0 / max(fps, 1e-3)
+        self.map_size = map_size
+        self.stream_dir = stream_dir
+        self.follow_camera = True
+        self.show_points = True
+        self.show_graph = True
+        self._latest = None          # (frame, image) from the tracker
+        self._lock = threading.Lock()
+        self.frame_view: Optional[np.ndarray] = None
+        self.map_view: Optional[np.ndarray] = None
+        self.metrics: Dict[str, float] = {}
+        self.n_rendered = 0
+        self._finish_requested = False
+        self._finished = False
+        self._stopped = False        # paused (reference mbStopped)
+        self._reset_requested = False
+        self._thread = threading.Thread(
+            target=self._run, name="viewer", daemon=True
+        )
+
+    # -- SLAM-side hook ------------------------------------------------
+
+    def update(self, frame, image: np.ndarray) -> None:
+        """Publish the newest tracked frame (FrameDrawer::Update)."""
+        with self._lock:
+            self._latest = (frame, np.asarray(image))
+
+    # -- menu surface --------------------------------------------------
+
+    def set_localization_mode(self, on: bool) -> None:
+        if on:
+            self.system.activate_localization_mode()
+        else:
+            self.system.deactivate_localization_mode()
+
+    def request_reset(self) -> None:
+        """Queued: executed on the viewer thread like the reference's
+        menuReset handling (src/Viewer.cc:135-152)."""
+        self._reset_requested = True
+
+    # -- thread protocol (reference :180-243) --------------------------
+
+    def start(self) -> "ViewerLoop":
+        self._thread.start()
+        return self
+
+    def request_finish(self) -> None:
+        self._finish_requested = True
+
+    def is_finished(self) -> bool:
+        return self._finished
+
+    def request_stop(self) -> None:
+        self._stopped = True
+
+    def release(self) -> None:
+        self._stopped = False
+
+    def join(self, timeout: Optional[float] = None) -> None:
+        self.request_finish()
+        self._thread.join(timeout)
+
+    # -- render loop ---------------------------------------------------
+
+    def _render_once(self) -> None:
+        with self._lock:
+            latest = self._latest
+        sys_ = self.system
+        lock = sys_.map_lock
+        import contextlib
+
+        with (lock if lock is not None else contextlib.nullcontext()):
+            tracker = sys_.tracker
+            cur = None
+            if tracker.last_frame is not None and tracker.last_frame.R is not None:
+                cur = (tracker.last_frame.R.copy(),
+                       tracker.last_frame.t.copy())
+            self.map_view = draw_map_topdown(
+                sys_.map, current_pose=cur, size=self.map_size,
+                follow=self.follow_camera and cur is not None,
+            ) if self.show_points or self.show_graph else None
+            if latest is not None:
+                frame, image = latest
+                self.frame_view = draw_frame(
+                    frame, image, tracker.state.name, sys_.map
+                )
+            self.metrics = collect_metrics(tracker, sys_.map)
+        self.n_rendered += 1
+        if self.stream_dir is not None and self.frame_view is not None:
+            import os
+
+            save_png(
+                os.path.join(
+                    self.stream_dir, f"frame_{self.n_rendered:05d}.png"
+                ),
+                self.frame_view,
+            )
+
+    def _run(self) -> None:
+        import time
+
+        while not self._finish_requested:
+            t0 = time.perf_counter()
+            if self._reset_requested:
+                self._reset_requested = False
+                self.system.reset()
+            if not self._stopped:
+                try:
+                    self._render_once()
+                except Exception:   # never kill the loop on a draw race
+                    pass
+            dt = time.perf_counter() - t0
+            if dt < self.period:
+                time.sleep(self.period - dt)
+        self._finished = True

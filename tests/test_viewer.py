@@ -95,3 +95,60 @@ class TestViewer:
         metrics = viewer.collect_metrics(tr, m)
         assert metrics["n_keyframes"] == 0
         assert metrics["state"] == "NO_IMAGES_YET"
+
+
+class TestViewerLoop:
+    """Live render thread (reference Viewer thread, src/Viewer.cc:55-243)."""
+
+    def _mini_system(self):
+        import time
+
+        from orb_slam2_commit_tpu.slam.system import System
+        from orb_slam2_commit_tpu.utils import synthetic
+        from orb_slam2_commit_tpu.utils.config import synthetic_config
+
+        cfg = synthetic_config(width=320, height=240, n_features=600)
+        images, poses_gt, scene = synthetic.render_sequence(
+            cfg.camera, n_frames=6, n_points=300, seed=3, step=0.05
+        )
+        return System(cfg), images, cfg
+
+    def test_renders_at_fps_and_menus(self):
+        import time
+
+        sys_, images, cfg = self._mini_system()
+        vl = viewer.ViewerLoop(sys_, fps=60.0).start()
+        for i, im in enumerate(images):
+            sys_.track_monocular(im, i / 30.0)
+            vl.update(sys_.tracker.last_frame, im)
+        # Let it spin a few periods on the final state.
+        time.sleep(0.2)
+        assert vl.n_rendered >= 5
+        assert vl.frame_view is not None and vl.frame_view.ndim == 3
+        assert vl.map_view is not None and vl.map_view.shape[0] == 512
+        assert vl.metrics["n_keyframes"] == sys_.map.n_keyframes()
+
+        # Menu toggles route to the System like the reference panel.
+        vl.set_localization_mode(True)
+        assert sys_.tracker.localization_only
+        vl.set_localization_mode(False)
+        assert not sys_.tracker.localization_only
+        vl.follow_camera = False
+        time.sleep(0.05)
+
+        # Pause / release (reference RequestStop/Release :203-227).
+        vl.request_stop()
+        n = vl.n_rendered
+        time.sleep(0.1)
+        assert vl.n_rendered == n
+        vl.release()
+        time.sleep(0.1)
+        assert vl.n_rendered > n
+
+        # Queued reset executes on the viewer thread (menuReset :135-152).
+        vl.request_reset()
+        time.sleep(0.2)
+        assert sys_.map.n_keyframes() == 0
+
+        vl.join(timeout=2.0)
+        assert vl.is_finished()
