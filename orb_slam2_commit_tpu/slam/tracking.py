@@ -591,21 +591,37 @@ class Tracker:
             R, t, inl, n_in = self._optimize_pose(
                 frame, np.asarray(res.R), np.asarray(res.t)
             )
-            if 8 <= n_in < 20:
-                # Projective widening (reference: src/Tracking.cc:1789-1860):
-                # when the BoW matches alone give a coarse pose but too few
-                # inliers, project the candidate KF's remaining map points
-                # through it with a wide radius and re-optimize.
-                frame.set_pose(R, t)
+            if n_in < 10:
+                continue
+
+            def widen(th):
+                """Project the candidate KF's not-yet-bound map points
+                through the current pose estimate and bind matches."""
                 kf_pts = np.unique(self.map.kf_point_idx[k])
                 kf_pts = kf_pts[kf_pts >= 0]
                 kf_pts = kf_pts[self.map.pt_valid[kf_pts]]
                 bound_now = frame.point_ids[frame.point_ids >= 0]
                 if bound_now.size:
                     kf_pts = kf_pts[~np.isin(kf_pts, bound_now)]
-                self._project_and_bind(frame, kf_pts, th=10.0)
+                self._project_and_bind(frame, kf_pts, th=th)
+
+            if n_in < 50:
+                # Stage 1 widening (reference: src/Tracking.cc:1814-1831):
+                # the BoW matches give a coarse pose but too few inliers —
+                # project the candidate KF's remaining map points with a
+                # wide radius (th=10) and re-optimize.
+                frame.set_pose(R, t)
+                widen(10.0)
                 R, t, inl, n_in = self._optimize_pose(frame, R, t)
-            if n_in >= 20:
+                if 30 < n_in < 50:
+                    # Stage 2 narrowed re-search (reference :1836-1860):
+                    # the pose is now accurate — re-search in a tight
+                    # window (th=3) to pull in the rest, final optimize.
+                    frame.set_pose(R, t)
+                    widen(3.0)
+                    R, t, inl, n_in = self._optimize_pose(frame, R, t)
+            if n_in >= 50:
+                # Reference accept gate: nGood >= 50 (src/Tracking.cc:1864).
                 frame.set_pose(R, t)
                 self.n_inliers = n_in
                 self.ref_kf = k
@@ -994,6 +1010,16 @@ def _round_up(n: int, m: int) -> int:
     return max(((n + m - 1) // m) * m, m)
 
 
+def _round_up_pow2(n: int, floor: int) -> int:
+    """Next power of two >= max(n, floor). Coarse shape buckets: a
+    growing map revisits O(log) executables instead of O(linear) — each
+    new bucket is a minutes-long remote compile on the tunneled TPU
+    (CLAUDE.md TPU notes), so fewer/coarser buckets win even though the
+    padded (masked) rows cost a little extra device compute."""
+    v = max(int(n), int(floor))
+    return 1 << (v - 1).bit_length()
+
+
 def build_ba_problem(
     map_state: MapState,
     free_kfs: np.ndarray,
@@ -1038,9 +1064,9 @@ def build_ba_problem(
     inv_s2 = 1.0 / sigma2[octv]
 
     O_real = cam_idx.size
-    K = _round_up(K_real, 8)
-    P = _round_up(P_real, 512)
-    O = _round_up(O_real, 2048)
+    K = _round_up_pow2(K_real, 8)
+    P = _round_up_pow2(P_real, 512)
+    O = _round_up_pow2(O_real, 2048)
 
     def pad(a, n, fill=0):
         out = np.full((n,) + a.shape[1:], fill, a.dtype)

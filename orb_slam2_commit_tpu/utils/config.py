@@ -204,6 +204,13 @@ class TrackerConfig:
     # own redundancy culling (src/LocalMapping.cc:784-871).
     kf_baseline_depth_ratio: float = 0.025
     kf_view_angle_deg: float = 5.0
+    # Local-BA window capacities. The reference's window is UNBOUNDED
+    # (all covisible KFs + every second-ring observer,
+    # src/Optimizer.cc:533-587); these caps bucket device shapes for
+    # compile reuse. Truncation is logged, never silent.
+    lba_max_free_kfs: int = 64
+    lba_max_fixed_kfs: int = 64
+    lba_max_points: int = 8192
     # Spatial guard for keyframe culling (beyond the reference). The
     # reference culls any keyframe whose observations are >=90% covered by
     # >=3 other keyframes at similar octaves (src/LocalMapping.cc:784-871);
@@ -298,4 +305,9 @@ def synthetic_config(
         # Deterministic synchronous pipeline for tests/tools; the bundled
         # vocabulary (place recognition) stays on, matching the reference.
         system=SystemConfig(async_mapping=False),
+        # Test maps are small; a tighter local-BA window keeps the f64 CPU
+        # solves inside the test-time budget (production default: 64/64/8192).
+        tracker=TrackerConfig(
+            lba_max_free_kfs=32, lba_max_fixed_kfs=32, lba_max_points=4096,
+        ),
     )
