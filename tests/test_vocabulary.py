@@ -171,3 +171,108 @@ def test_database_query_with_padded_rows():
     np.testing.assert_allclose(scores[2], 1.0, atol=1e-6)   # twin
     assert common[2] == common[1] > 0
     assert db.score_between(1, 2) > 0.999
+
+
+class TestShippedVocabularyScale:
+    """The bundled production vocabulary (data/default_voc.npz, trained by
+    scripts/train_vocab.py at k=10/L=5) validated at its real scale — the
+    counterpart of the reference's ~1M-word ORBvoc.txt assumptions
+    (TemplatedVocabulary.h:1218-1338, src/KeyFrame.cc:70-76)."""
+
+    @pytest.fixture(scope="class")
+    def voc(self):
+        from orb_slam2_commit_tpu.models.vocabulary import default_vocabulary
+
+        v = default_vocabulary()
+        assert v is not None, "bundled data/default_voc.npz missing"
+        return v
+
+    def test_scale(self, voc):
+        assert voc.n_words >= 50_000, voc.n_words
+        assert voc.k == 10 and voc.levels == 5
+
+    def test_retrieval_discrimination(self, voc):
+        """Place-recognition shape: jittered re-observations of the same
+        'place' must outscore different places, at scale."""
+        rng = np.random.default_rng(11)
+        n_places, n_desc = 20, 300
+        places = [rand_desc(rng, n_desc) for _ in range(n_places)]
+        valid = np.ones(n_desc, bool)
+        bows = []
+        for p in places:
+            w, _ = voc.transform(p, valid)
+            bows.append(voc.sparse_bow(w))
+        correct = 0
+        for i, p in enumerate(places):
+            # Re-observation: viewpoint jitter = a few flipped bits + 30%
+            # feature churn.
+            re = perturb(rng, p, 6)
+            re[: n_desc // 3] = rand_desc(rng, n_desc // 3)
+            w, _ = voc.transform(re, valid)
+            q = voc.sparse_bow(w)
+            scores = [
+                voc.sparse_score(*q, *b) for b in bows
+            ]
+            if int(np.argmax(scores)) == i:
+                correct += 1
+        assert correct >= n_places - 1, correct
+
+    def test_word_occupancy(self, voc):
+        """A healthy tree spreads random descriptors over many words
+        (degenerate trees funnel everything into a few leaves)."""
+        rng = np.random.default_rng(12)
+        d = rand_desc(rng, 2000)
+        w, _ = voc.transform(d, np.ones(2000, bool))
+        assert np.unique(w).size > 1000
+
+    def test_tree_descent_throughput(self, voc):
+        """Batched device descent at frame scale; prints the line the
+        perf audit asks for (features/s through the k=10/L=5 tree)."""
+        import time
+
+        rng = np.random.default_rng(13)
+        d = rand_desc(rng, 1000)
+        valid = np.ones(1000, bool)
+        voc.transform(d, valid)     # warm/compile
+        t0 = time.perf_counter()
+        reps = 5
+        for r in range(reps):
+            w, n = voc.transform(
+                np.roll(d, r, axis=0), valid
+            )
+        dt = (time.perf_counter() - t0) / reps
+        print(f"\ntree descent: {1000 / dt:,.0f} feats/s "
+              f"({dt * 1e3:.2f} ms / 1000 feats, {voc.n_words} words)")
+        assert dt < 2.0
+
+
+class TestDatabaseScale:
+    def test_query_at_5k_keyframes(self):
+        """KeyFrameDatabase retrieval stays fast and sparse-memory at a
+        KITTI-class keyframe count (reference KeyFrameDatabase.cc:76-216
+        iterates inverted-index rows the same way)."""
+        import time
+
+        from orb_slam2_commit_tpu.models.kf_database import KeyFrameDatabase
+        from orb_slam2_commit_tpu.models.vocabulary import default_vocabulary
+
+        voc = default_vocabulary()
+        assert voc is not None
+        rng = np.random.default_rng(21)
+        n_kf, n_desc = 5000, 200
+        db = KeyFrameDatabase(voc, n_kf)
+        t0 = time.perf_counter()
+        for k in range(n_kf):
+            db.add(k, rand_desc(rng, n_desc), np.ones(n_desc, bool))
+        t_add = time.perf_counter() - t0
+
+        q_uw, q_wt = db.kf_bow(1234)
+        t0 = time.perf_counter()
+        common, scores = db._common_words_and_scores(q_uw, q_wt)
+        t_query = time.perf_counter() - t0
+        print(f"\n5k-KF db: add {t_add / n_kf * 1e3:.2f} ms/KF, "
+              f"query {t_query * 1e3:.1f} ms")
+        # The query must rank the keyframe itself first (self-score 1).
+        assert int(np.argmax(scores)) == 1234
+        assert scores[1234] > 0.99
+        assert t_query < 2.0
