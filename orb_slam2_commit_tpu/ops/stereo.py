@@ -131,6 +131,19 @@ def stereo_match(
     has = m.idx >= 0
     ridx = jnp.maximum(m.idx, 0)
 
+    # Left-right consistency (beyond the reference): the matched right
+    # keypoint's own best left candidate must be this left keypoint.
+    # Gross descriptor mismatches (similar-texture landmarks elsewhere on
+    # the row) pass the distance threshold but almost never mutually —
+    # without this cut a few percent of stereo depths are wildly wrong,
+    # and those seed map points that drag pose optimization (measured:
+    # disparity-error tail mean +9 px -> ~0).
+    big = jnp.asarray(1 << 20, dist.dtype)
+    dist_m = jnp.where(mask, dist, big)
+    best_l_for_r = jnp.argmin(dist_m, axis=0)          # [n_r]
+    mutual = best_l_for_r[ridx] == jnp.arange(n_l)
+    has = has & mutual
+
     # --- SAD subpixel refinement at the keypoint's own pyramid level --------
     lvl = jnp.clip(octave_l, 0, scale_factors.shape[0] - 1)
     inv_scale = 1.0 / scale_factors[lvl]
@@ -163,6 +176,10 @@ def stereo_match(
     s_p = jnp.take_along_axis(sads, (ib + 1)[:, None], 1)[:, 0]
     denom = 2.0 * (s_m + s_p - 2.0 * s_c)
     delta = jnp.where(jnp.abs(denom) > 1e-9, (s_m - s_p) / denom, 0.0)
+    # Out-of-range parabola offset = no true SAD valley here; the
+    # reference REJECTS these (src/Frame.cc:729-730, deltaR<-1||deltaR>1)
+    # rather than clipping.
+    delta_ok = jnp.abs(delta) <= 1.0
     delta = jnp.clip(delta, -1.0, 1.0)
 
     u_r_level = iuR0.astype(win_l.dtype) + (ib - SLIDE) + delta
@@ -170,6 +187,7 @@ def stereo_match(
     disparity = xy_l[:, 0] - u_r0
     ok = (
         has
+        & delta_ok
         & (disparity > min_d)
         & (disparity < max_d)
         & (best >= 1)
