@@ -45,7 +45,30 @@ def _cost_line(name, compiled):
         return {"kernel": name, "error": str(e)}
 
 
-def bench_system(n_frames=72):
+def _with_timeout(seconds, fn, *a, **k):
+    """Run fn with a SIGALRM watchdog so a compile-thrash or tunnel hang
+    in an auxiliary bench can never swallow the headline line. The alarm
+    fires at the next Python bytecode boundary after a blocking native
+    call returns — coarse, but every individual remote compile does
+    return."""
+    import signal
+
+    class _Timeout(Exception):
+        pass
+
+    def handler(signum, frame):
+        raise _Timeout()
+
+    old = signal.signal(signal.SIGALRM, handler)
+    signal.alarm(int(seconds))
+    try:
+        return fn(*a, **k)
+    finally:
+        signal.alarm(0)
+        signal.signal(signal.SIGALRM, old)
+
+
+def bench_system(n_frames=48):
     """Full-pipeline throughput (tracking + keyframe insertion + local
     mapping + loop closing) on pre-rendered uint8 frames, async mapping —
     the bench_system.py methodology, condensed. Returns a JSON dict."""
@@ -89,6 +112,17 @@ def bench_system(n_frames=72):
 def main():
     import jax
     import jax.numpy as jnp
+
+    # The persistent compile cache works through the axon tunnel and
+    # turns minutes-long remote compiles into ~0.5 s on repeat runs;
+    # the env vars alone are too late (sitecustomize imports jax first).
+    try:
+        jax.config.update(
+            "jax_compilation_cache_dir", "/root/repo/.jax_cache"
+        )
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 0)
+    except Exception:
+        pass
 
     import __graft_entry__ as g
 
@@ -204,13 +238,15 @@ def main():
     except Exception as e:  # never break the headline on aux failure
         print(json.dumps({"metric": "kernel_roofline", "error": str(e)}))
 
-    # Full-System pipeline line (bench_system.py methodology).
+    # Full-System pipeline line (bench_system.py methodology). Watchdog:
+    # a cold compile cache can make the first run compile-dominated.
     try:
-        print(json.dumps(bench_system()))
+        print(json.dumps(_with_timeout(1200, bench_system)), flush=True)
     except Exception as e:  # pragma: no cover
         print(json.dumps({
-            "metric": "system_pipeline_fps_640x480_async", "error": str(e)
-        }))
+            "metric": "system_pipeline_fps_640x480_async",
+            "error": str(e) or type(e).__name__,
+        }), flush=True)
 
     # Headline LAST (the driver parses the final JSON line).
     print(
