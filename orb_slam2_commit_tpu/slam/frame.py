@@ -45,6 +45,12 @@ class Frame:
     # when the map moves under BA/loop corrections (reference:
     # Tracking::UpdateLastFrame, src/Tracking.cc:971-980).
     anchor: Optional[object] = None
+    # Device-resident packed feature matrix + descriptor table from the
+    # fused frontend (jit_frontend packed layout). Downstream fused
+    # stages (fused local-map tracking) consume these directly instead of
+    # re-uploading host mirrors — zero-copy frame reuse on device.
+    dev_feat: Optional[object] = None
+    dev_desc: Optional[object] = None
 
     def __post_init__(self):
         if self.point_ids is None:

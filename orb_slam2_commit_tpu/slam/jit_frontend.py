@@ -386,3 +386,200 @@ def fused_stereo_motion_track_jit(
         image_l, image_r, pt_pos, pt_desc, pt_octave, pt_angle, pt_valid,
         R_pred, t_pred, tz_rel, config
     )
+
+
+# ---------------------------------------------------------------------------
+# Packed-transfer route: the same fused graphs with host<->device traffic
+# collapsed to 3 buffers each way.
+#
+# Per-transfer latency, not bandwidth, dominates remote/tunneled runtimes
+# (measured ~0.15-0.3 s per fetch through the axon tunnel: the unpacked
+# FusedMotionResult's ~12 device->host fetches alone cost ~1.8 s/frame),
+# and every transfer is also a host sync on co-located hardware. The host
+# packs the per-frame point inputs into ONE f32 matrix + the descriptor
+# table + ONE scalar meta vector, and the graph returns ONE f32 feature
+# matrix + ONE meta vector + the descriptor table.
+# ---------------------------------------------------------------------------
+
+# Input meta layout: R_pred(9) t_pred(3) tz_rel -> [13].
+IN_META_LEN = 13
+# Packed point columns: pos(3) octave angle valid -> [M, 6].
+IN_PT_COLS = 6
+# Output meta: R(9) t(3) n_matches n_inliers -> [14].
+OUT_META_LEN = 14
+# Packed feature columns (all exactly representable in f32):
+# xy_und(2) xy_raw(2) response angle octave valid depth ur binding inlier
+OUT_FEAT_COLS = 12
+
+
+def _unpack_inputs(pt_f32, meta_f32):
+    # Canonical float dtype: f32 in production, f64 when the test mesh
+    # enables x64 — keeps the packed route numerically identical to the
+    # unpacked/staged oracles under either precision regime.
+    fdt = jnp.result_type(float)
+    pt_f32 = pt_f32.astype(fdt)
+    meta_f32 = meta_f32.astype(fdt)
+    pt_pos = pt_f32[:, 0:3]
+    pt_octave = pt_f32[:, 3].astype(jnp.int32)
+    pt_angle = pt_f32[:, 4]
+    pt_valid = pt_f32[:, 5] > 0.5
+    R_pred = meta_f32[0:9].reshape(3, 3)
+    t_pred = meta_f32[9:12]
+    tz_rel = meta_f32[12]
+    return pt_pos, pt_octave, pt_angle, pt_valid, R_pred, t_pred, tz_rel
+
+
+def _pack_result(res: FusedMotionResult):
+    f32 = res.xy_und.dtype
+    meta = jnp.concatenate([
+        res.R.reshape(-1).astype(f32),
+        res.t.astype(f32),
+        res.n_matches.astype(f32)[None],
+        res.n_inliers.astype(f32)[None],
+    ])
+    feat = jnp.stack([
+        res.xy_und[:, 0], res.xy_und[:, 1],
+        res.xy_raw[:, 0], res.xy_raw[:, 1],
+        res.response.astype(f32), res.angle.astype(f32),
+        res.octave.astype(f32), res.valid.astype(f32),
+        res.depth.astype(f32), res.ur.astype(f32),
+        res.binding.astype(f32), res.inliers.astype(f32),
+    ], axis=1)
+    return meta, feat, res.desc
+
+
+@functools.partial(jax.jit, static_argnames=("config",))
+def fused_motion_track_packed_jit(image, pt_f32, pt_desc, meta_f32,
+                                  config: SLAMConfig):
+    pt_pos, pt_octave, pt_angle, pt_valid, R_pred, t_pred, _ = (
+        _unpack_inputs(pt_f32, meta_f32)
+    )
+    return _pack_result(fused_motion_track(
+        image, pt_pos, pt_desc, pt_octave, pt_angle, pt_valid,
+        R_pred, t_pred, config
+    ))
+
+
+@functools.partial(jax.jit, static_argnames=("config",))
+def fused_rgbd_motion_track_packed_jit(image, depth_image, pt_f32, pt_desc,
+                                       meta_f32, config: SLAMConfig):
+    pt_pos, pt_octave, pt_angle, pt_valid, R_pred, t_pred, tz_rel = (
+        _unpack_inputs(pt_f32, meta_f32)
+    )
+    return _pack_result(fused_rgbd_motion_track(
+        image, depth_image, pt_pos, pt_desc, pt_octave, pt_angle, pt_valid,
+        R_pred, t_pred, tz_rel, config
+    ))
+
+
+# ---------------------------------------------------------------------------
+# Fused local-map tracking: frustum check -> projection matching -> pose
+# BA as ONE packed-transfer graph, consuming the frontend's
+# device-resident feature buffers (Frame.dev_feat / dev_desc) with no
+# re-upload. The staged path (slam/tracking._track_local_map) is the
+# oracle; this is its single-dispatch twin for accelerator runs.
+#
+# Candidate columns: pos(3) normal(3) dmin dmax valid -> [M, 9].
+LM_CAND_COLS = 9
+# Per-feature state: bound-point pos(3) has_bound -> [N, 4].
+LM_FEAT_COLS = 4
+# Input meta: R(9) t(3) th -> [13]; output meta: R(9) t(3) n_in -> [13].
+LM_META_LEN = 13
+
+
+@functools.partial(jax.jit, static_argnames=("config",))
+def fused_local_map_track_jit(
+    feat_dev,        # [N, OUT_FEAT_COLS] packed frontend features (device)
+    desc_dev,        # [N, 8] uint32 (device)
+    feat_state,      # [N, LM_FEAT_COLS] f32: current binding state
+    cand_f32,        # [M, LM_CAND_COLS] f32 candidate map points
+    cand_desc,       # [M, 8] uint32
+    meta_f32,        # [LM_META_LEN]
+    config: SLAMConfig,
+):
+    """Oracle: TrackLocalMap's device portion (src/Tracking.cc:1137-1202:
+    SearchLocalPoints' frustum gates + SearchByProjection + the final
+    PoseOptimization), fused. Returns (meta_out [LM_META_LEN] f32,
+    perfeat [N, 2] f32: candidate-row binding (-1 none) and inlier flag,
+    visible [M] f32)."""
+    cam = config.camera
+    fdt = jnp.result_type(float)
+    feat_dev = feat_dev.astype(fdt)
+    feat_state = feat_state.astype(fdt)
+    cand_f32 = cand_f32.astype(fdt)
+    meta_f32 = meta_f32.astype(fdt)
+    xy_und = feat_dev[:, 0:2]
+    angle = feat_dev[:, 5]
+    octave = feat_dev[:, 6].astype(jnp.int32)
+    f_valid = feat_dev[:, 7] > 0.5
+    ur = feat_dev[:, 9]
+    bound_pos = feat_state[:, 0:3]
+    has_bound = feat_state[:, 3] > 0.5
+
+    R0 = meta_f32[0:9].reshape(3, 3)
+    t0 = meta_f32[9:12]
+    th = meta_f32[12]
+
+    info = matchers.frustum_check.__wrapped__(
+        cand_f32[:, 0:3], cand_f32[:, 3:6], cand_f32[:, 6], cand_f32[:, 7],
+        cand_f32[:, 8] > 0.5, R0, t0,
+        cam.fx, cam.fy, cam.cx, cam.cy,
+        float(cam.width), float(cam.height),
+        n_levels=config.orb.n_levels, scale=config.orb.scale_factor,
+    )
+    m = matchers.match_local_map.__wrapped__(
+        info, cand_desc, xy_und, desc_dev, octave, f_valid,
+        has_bound, th=th,
+        n_levels=config.orb.n_levels, scale=config.orb.scale_factor,
+    )
+    # Invert candidate->feature matches into per-feature bindings.
+    n_feat = xy_und.shape[0]
+    idx = m.idx
+    safe = jnp.maximum(idx, 0)
+    binding = jnp.full((n_feat,), -1, jnp.int32)
+    binding = binding.at[safe].set(
+        jnp.where(idx >= 0, jnp.arange(idx.shape[0], dtype=jnp.int32), -1)
+    )
+    new = binding >= 0
+    pos = jnp.where(
+        new[:, None], cand_f32[jnp.maximum(binding, 0), 0:3], bound_pos
+    )
+    obs_ok = (new | has_bound) & f_valid
+
+    sigma2 = jnp.asarray(config.orb.level_sigma2())
+    inv_sigma2 = 1.0 / sigma2[jnp.clip(octave, 0, config.orb.n_levels - 1)]
+    has_ur = ur >= 0
+    obs = BAObservations(
+        cam_idx=jnp.zeros(n_feat, jnp.int32),
+        pt_idx=jnp.arange(n_feat, dtype=jnp.int32),
+        uvr=jnp.concatenate(
+            [xy_und, jnp.where(has_ur, ur, 0.0)[:, None]], axis=1
+        ),
+        inv_sigma2=inv_sigma2,
+        is_stereo=has_ur & obs_ok,
+        valid=obs_ok,
+    )
+    res = pose_opt.pose_optimization(
+        R0, t0, pos, obs, cam.fx, cam.fy, cam.cx, cam.cy, cam.bf,
+    )
+    f32 = xy_und.dtype
+    meta_out = jnp.concatenate([
+        res.R.reshape(-1).astype(f32), res.t.astype(f32),
+        res.n_inliers.astype(f32)[None],
+    ])
+    perfeat = jnp.stack(
+        [binding.astype(f32), res.inliers.astype(f32)], axis=1
+    )
+    return meta_out, perfeat, info.visible.astype(f32)
+
+
+@functools.partial(jax.jit, static_argnames=("config",))
+def fused_stereo_motion_track_packed_jit(image_l, image_r, pt_f32, pt_desc,
+                                         meta_f32, config: SLAMConfig):
+    pt_pos, pt_octave, pt_angle, pt_valid, R_pred, t_pred, tz_rel = (
+        _unpack_inputs(pt_f32, meta_f32)
+    )
+    return _pack_result(fused_stereo_motion_track(
+        image_l, image_r, pt_pos, pt_desc, pt_octave, pt_angle, pt_valid,
+        R_pred, t_pred, tz_rel, config
+    ))

@@ -329,58 +329,74 @@ class Tracker:
         pt_pos = self.map.pt_pos[pt_ids]
         pt_ok = bound & self.map.pt_valid[pt_ids]
 
-        pt_args = (
-            jnp.asarray(pt_pos), jnp.asarray(last.desc),
-            jnp.asarray(last.octave), jnp.asarray(last.angle),
-            jnp.asarray(pt_ok),
-            jnp.asarray(R_pred), jnp.asarray(t_pred),
-        )
+        # Packed-transfer route (see jit_frontend packed section): the
+        # point-side inputs travel as ONE f32 matrix + the descriptor
+        # table + ONE meta vector, and the result comes back the same
+        # way — per-transfer latency dominates remote runtimes.
+        m = pt_pos.shape[0]
+        pt_f32 = np.empty((m, jit_frontend.IN_PT_COLS), np.float32)
+        pt_f32[:, 0:3] = pt_pos
+        pt_f32[:, 3] = last.octave
+        pt_f32[:, 4] = last.angle
+        pt_f32[:, 5] = pt_ok
         # z of the predicted camera center in the LAST frame's coords —
         # drives the stereo/RGB-D forward/backward octave rule
         # (src/ORBmatcher.cc:1522-1529).
         tz_rel = self._tz_rel(last, R_pred, t_pred)
+        meta_in = np.empty(jit_frontend.IN_META_LEN, np.float32)
+        meta_in[0:9] = np.asarray(R_pred).reshape(-1)
+        meta_in[9:12] = t_pred
+        meta_in[12] = tz_rel
+
+        args = (jnp.asarray(pt_f32), jnp.asarray(last.desc),
+                jnp.asarray(meta_in), self.config)
         if image_right is not None:
-            res = jit_frontend.fused_stereo_motion_track_jit(
-                jnp.asarray(image),
-                jnp.asarray(image_right),
-                *pt_args, jnp.asarray(tz_rel), self.config,
+            meta, feat, desc = jit_frontend.fused_stereo_motion_track_packed_jit(
+                jnp.asarray(image), jnp.asarray(image_right), *args,
             )
         elif depth_image is not None:
-            res = jit_frontend.fused_rgbd_motion_track_jit(
+            meta, feat, desc = jit_frontend.fused_rgbd_motion_track_packed_jit(
                 jnp.asarray(image),
-                jnp.asarray(depth_image, jnp.float32),
-                *pt_args, jnp.asarray(tz_rel), self.config,
+                jnp.asarray(depth_image, jnp.float32), *args,
             )
         else:
-            res = jit_frontend.fused_motion_track_jit(
-                jnp.asarray(image), *pt_args, self.config,
+            meta, feat, desc = jit_frontend.fused_motion_track_packed_jit(
+                jnp.asarray(image), *args,
             )
+        dev_feat, dev_desc = feat, desc
+        meta = np.asarray(meta)
+        feat = np.asarray(feat)
         frame = Frame(
             frame_id=frame_id,
             timestamp=timestamp,
-            xy=np.asarray(res.xy_und, np.float64),
-            xy_raw=np.asarray(res.xy_raw, np.float64),
-            octave=np.asarray(res.octave),
-            angle=np.asarray(res.angle),
-            response=np.asarray(res.response),
-            desc=np.asarray(res.desc),
-            valid=np.asarray(res.valid),
-            depth=np.asarray(res.depth, np.float32),
-            ur=np.asarray(res.ur, np.float32),
+            xy=feat[:, 0:2].astype(np.float64),
+            xy_raw=feat[:, 2:4].astype(np.float64),
+            response=feat[:, 4].copy(),
+            angle=feat[:, 5].copy(),
+            octave=feat[:, 6].astype(np.int32),
+            valid=feat[:, 7] > 0.5,
+            depth=feat[:, 8].astype(np.float32),
+            ur=feat[:, 9].astype(np.float32),
+            desc=np.asarray(desc),
+            dev_feat=dev_feat,
+            dev_desc=dev_desc,
         )
-        n_matches = int(res.n_matches)
-        n_in = int(res.n_inliers)
+        n_matches = int(meta[12])
+        n_in = int(meta[13])
         if n_matches < 20:
             return frame, False
-        binding = np.asarray(res.binding)
+        binding = feat[:, 10].astype(np.int32)
         pid = np.where(
             binding >= 0, last.point_ids[np.maximum(binding, 0)], INVALID
         ).astype(np.int32)
         # Unbind pose-BA outliers, exactly as the staged path's
         # _optimize_pose does (reference: src/Tracking.cc:1102-1119).
-        inl = np.asarray(res.inliers)
+        inl = feat[:, 11] > 0.5
         frame.point_ids = np.where((pid >= 0) & ~inl, INVALID, pid).astype(np.int32)
-        frame.set_pose(np.asarray(res.R, np.float64), np.asarray(res.t, np.float64))
+        frame.set_pose(
+            meta[0:9].reshape(3, 3).astype(np.float64),
+            meta[9:12].astype(np.float64),
+        )
         self.n_inliers = n_in
         return frame, n_in >= self.config.tracker.min_inliers_track
 
@@ -733,13 +749,22 @@ class Tracker:
         th = self.config.tracker.search_radius_local_map
         if frame.frame_id < self.last_reloc_frame_id + 2:
             th = 5.0
-        visible = self._project_and_bind(frame, cand, th)
-        # Visibility counter (reference: IncreaseVisible,
-        # src/Tracking.cc:1420-1437).
-        self.map.pt_visible[cand[visible]] += 1
 
-        R, t, inl, n_in = self._optimize_pose(frame, frame.R, frame.t)
-        frame.set_pose(R, t)
+        if frame.dev_feat is not None:
+            # Single-dispatch device portion (frustum + projection match
+            # + pose BA) on the frontend's device-resident feature
+            # buffers — same math as the staged core below, 1 dispatch /
+            # 4 uploads / 3 fetches instead of 3 dispatches / ~20
+            # transfers (slam/jit_frontend.fused_local_map_track_jit).
+            n_in = self._fused_local_map_core(frame, cand, th)
+        else:
+            visible = self._project_and_bind(frame, cand, th)
+            # Visibility counter (reference: IncreaseVisible,
+            # src/Tracking.cc:1420-1437).
+            self.map.pt_visible[cand[visible]] += 1
+
+            R, t, inl, n_in = self._optimize_pose(frame, frame.R, frame.t)
+            frame.set_pose(R, t)
         self.n_inliers = n_in
         # Found counter for culling (reference: IncreaseFound,
         # src/Tracking.cc:1175-1183).
@@ -750,6 +775,61 @@ class Tracker:
         if frame.frame_id < self.last_reloc_frame_id + cam.fps:
             min_in = self.config.tracker.min_inliers_local_map_recent
         return n_in >= min_in
+
+    def _fused_local_map_core(self, frame: Frame, cand: np.ndarray,
+                              th: float) -> int:
+        """Device portion of TrackLocalMap as one packed-transfer graph;
+        host bookkeeping (bind matches, unbind outliers, counters)
+        mirrors _project_and_bind + _optimize_pose exactly."""
+        from orb_slam2_commit_tpu.slam import jit_frontend
+
+        M = self.config.tracker.max_local_points
+        cand = cand[:M]
+        m_c = cand.size
+        cand_f32 = np.zeros((M, jit_frontend.LM_CAND_COLS), np.float32)
+        cand_f32[:m_c, 0:3] = self.map.pt_pos[cand]
+        cand_f32[:m_c, 3:6] = self.map.pt_normal[cand]
+        cand_f32[:m_c, 6] = self.map.pt_min_dist[cand]
+        cand_f32[:m_c, 7] = self.map.pt_max_dist[cand]
+        cand_f32[:m_c, 8] = 1.0
+        cand_desc = np.zeros((M, 8), np.uint32)
+        cand_desc[:m_c] = self.map.pt_desc[cand]
+
+        bound = frame.point_ids >= 0
+        pid = np.maximum(frame.point_ids, 0)
+        feat_state = np.zeros(
+            (frame.n, jit_frontend.LM_FEAT_COLS), np.float32
+        )
+        feat_state[:, 0:3] = self.map.pt_pos[pid]
+        feat_state[:, 3] = bound
+
+        meta_in = np.empty(jit_frontend.LM_META_LEN, np.float32)
+        meta_in[0:9] = frame.R.reshape(-1)
+        meta_in[9:12] = frame.t
+        meta_in[12] = th
+
+        meta, perfeat, visible = jit_frontend.fused_local_map_track_jit(
+            frame.dev_feat, frame.dev_desc,
+            jnp.asarray(feat_state), jnp.asarray(cand_f32),
+            jnp.asarray(cand_desc), jnp.asarray(meta_in), self.config,
+        )
+        meta = np.asarray(meta)
+        perfeat = np.asarray(perfeat)
+        vis = np.asarray(visible) > 0.5
+
+        self.map.pt_visible[cand[vis[:m_c]]] += 1
+        binding = perfeat[:, 0].astype(np.int32)
+        rows = np.where((binding >= 0) & (binding < m_c))[0]
+        frame.point_ids[rows] = cand[binding[rows]]
+        # Unbind pose-BA outliers (mirror of _optimize_pose).
+        inl = perfeat[:, 1] > 0.5
+        b2 = frame.point_ids >= 0
+        frame.point_ids = np.where(b2 & ~inl, INVALID, frame.point_ids)
+        frame.set_pose(
+            meta[0:9].reshape(3, 3).astype(np.float64),
+            meta[9:12].astype(np.float64),
+        )
+        return int(meta[12])
 
     # ------------------------------------------------------------------
     # Keyframe decision
