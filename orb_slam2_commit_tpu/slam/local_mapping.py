@@ -136,7 +136,137 @@ class LocalMapper:
         return Kinv.T @ tx @ R21 @ Kinv
 
     def _create_new_points(self, kf: int) -> None:
-        """Oracle: CreateNewMapPoints (src/LocalMapping.cc:281-558)."""
+        """Oracle: CreateNewMapPoints (src/LocalMapping.cc:281-558).
+
+        Default: the whole neighbor loop runs as ONE batched device
+        dispatch (slam/jit_mapper.fused_triangulation_jit) with the
+        sequential claim semantics restored on the host; the per-neighbor
+        staged loop (ORB_TPU_STAGED_MAPPER=1) is the oracle."""
+        import os
+
+        if os.environ.get("ORB_TPU_STAGED_MAPPER") == "1":
+            return self._create_new_points_staged(kf)
+        return self._create_new_points_batched(kf)
+
+    def _neighbor_pairs(self, kf: int):
+        """Shared neighbor selection + host-side pair gates (baseline vs
+        median depth for monocular, absolute stereo baseline otherwise;
+        reference :286-337)."""
+        cfg = self.config
+        cam = cfg.camera
+        n_neigh = 20 if cfg.sensor == "monocular" else 10
+        neighbors = self.map.covisible_keyframes(kf, n_neigh, min_weight=15)
+        if neighbors.size == 0:
+            neighbors = self.map.covisible_keyframes(kf, 3, min_weight=1)
+        R1, t1 = self.map.kf_pose_R[kf], self.map.kf_pose_t[kf]
+        c1 = -R1.T @ t1
+        pairs = []
+        for k2 in neighbors:
+            k2 = int(k2)
+            R2, t2 = self.map.kf_pose_R[k2], self.map.kf_pose_t[k2]
+            c2 = -R2.T @ t2
+            baseline = np.linalg.norm(c2 - c1)
+            if cfg.sensor == "monocular":
+                pts2 = self.map.kf_point_idx[k2]
+                pts2 = pts2[pts2 >= 0]
+                if pts2.size == 0:
+                    continue
+                depths = (self.map.pt_pos[pts2] @ R2[2]) + t2[2]
+                med = np.median(depths[depths > 0]) if (depths > 0).any() else 0
+                if med <= 0 or baseline / med < 0.01:
+                    continue
+            elif baseline < cam.baseline:
+                continue
+            pairs.append(k2)
+        return [int(x) for x in neighbors], pairs
+
+    def _create_new_points_batched(self, kf: int) -> None:
+        from orb_slam2_commit_tpu.slam import jit_mapper
+        from orb_slam2_commit_tpu.slam.tracking import _round_up_pow2
+
+        cfg = self.config
+        cam = cfg.camera
+        K = np.asarray(cam.k_matrix)
+        neighbors, pairs = self._neighbor_pairs(kf)
+        R1, t1 = self.map.kf_pose_R[kf], self.map.kf_pose_t[kf]
+        c1 = -R1.T @ t1
+        free1 = (self.map.kf_point_idx[kf] == INVALID) & self.map.kf_feat_valid[kf]
+        if pairs and free1.any():
+            n = self.map.n_feat
+            B = _round_up_pow2(len(pairs), 4)
+            kf_f32 = jit_mapper._pack_feats(
+                self.map.kf_xy[kf], self.map.kf_angle[kf],
+                self.map.kf_octave[kf], free1,
+            )
+            nb_f32 = np.zeros((B, n, jit_mapper.TRI_FEAT_COLS), np.float32)
+            nb_desc = np.zeros((B, n, 8), np.uint32)
+            pair_f32 = np.zeros((B, jit_mapper.TRI_PAIR_COLS), np.float32)
+            for b, k2 in enumerate(pairs):
+                R2, t2 = self.map.kf_pose_R[k2], self.map.kf_pose_t[k2]
+                c2 = -R2.T @ t2
+                free2 = (
+                    self.map.kf_point_idx[k2] == INVALID
+                ) & self.map.kf_feat_valid[k2]
+                nb_f32[b] = jit_mapper._pack_feats(
+                    self.map.kf_xy[k2], self.map.kf_angle[k2],
+                    self.map.kf_octave[k2], free2,
+                )
+                nb_desc[b] = self.map.kf_desc[k2]
+                c1_in_2 = R2 @ c1 + t2
+                if abs(c1_in_2[2]) > 1e-6:
+                    ep = np.array([
+                        cam.fx * c1_in_2[0] / c1_in_2[2] + cam.cx,
+                        cam.fy * c1_in_2[1] / c1_in_2[2] + cam.cy,
+                    ])
+                else:
+                    ep = np.array([1e9, 1e9])
+                P2 = K @ np.concatenate([R2, t2[:, None]], axis=1)
+                pair_f32[b, 0:9] = self._fundamental_from_poses(
+                    kf, k2
+                ).reshape(-1)
+                pair_f32[b, 9:11] = ep
+                pair_f32[b, 11:23] = P2.reshape(-1)
+                pair_f32[b, 23:26] = R2[2]
+                pair_f32[b, 26] = t2[2]
+                pair_f32[b, 27:30] = c2
+                pair_f32[b, 30] = 1.0
+
+            P1 = K @ np.concatenate([R1, t1[:, None]], axis=1)
+            meta = np.zeros(jit_mapper.TRI_META_LEN, np.float32)
+            meta[0:12] = P1.reshape(-1)
+            meta[12:15] = c1
+            meta[15] = np.cos(np.radians(cfg.tracker.tri_min_parallax_deg))
+            meta[16] = 1.5 * cfg.orb.scale_factor
+
+            pts_b, flags_b = jit_mapper.fused_triangulation_jit(
+                jnp.asarray(kf_f32), jnp.asarray(self.map.kf_desc[kf]),
+                jnp.asarray(nb_f32), jnp.asarray(nb_desc),
+                jnp.asarray(pair_f32), jnp.asarray(meta), cfg,
+            )
+            pts_b = np.asarray(pts_b, np.float64)
+            flags_b = np.asarray(flags_b)
+
+            # Sequential claim in neighbor order (matches the staged
+            # loop's free1 update between pairs).
+            for b, k2 in enumerate(pairs):
+                good = (flags_b[b, :, 0] > 0.5) & free1
+                g_rows = np.where(good)[0]
+                if g_rows.size == 0:
+                    continue
+                idx2 = flags_b[b, :, 1].astype(np.int64)
+                new_ids = self.map.add_points(pts_b[b][g_rows], first_kf=kf)
+                self.map.kf_point_idx[kf, g_rows] = new_ids
+                self.map.kf_point_idx[k2, idx2[g_rows]] = new_ids
+                free1[g_rows] = False
+                for nid in new_ids:
+                    self.recent_points.append(RecentPoint(int(nid), kf))
+
+        self.map.update_covisibility(kf)
+        for k2 in neighbors:
+            self.map.update_covisibility(int(k2))
+
+    def _create_new_points_staged(self, kf: int) -> None:
+        """Per-neighbor staged oracle for _create_new_points."""
         cfg = self.config
         cam = cfg.camera
         # 20 neighbors for monocular, 10 otherwise (reference :286-289).
@@ -269,6 +399,29 @@ class LocalMapper:
                     targets.append(int(k2))
                     seen.add(int(k2))
 
+        def merge_matches(target_kf: int, pt_ids: np.ndarray,
+                          idx: np.ndarray) -> None:
+            obs_counts = self.map.observation_count()
+            for r in np.where(idx >= 0)[0]:
+                pid = int(pt_ids[r])
+                feat = int(idx[r])
+                if not self.map.pt_valid[pid]:
+                    # Consumed by a merge into an earlier target this
+                    # round (the staged loop refilters pt_ids per target).
+                    continue
+                existing = int(self.map.kf_point_idx[target_kf, feat])
+                if existing == pid:
+                    continue
+                if existing >= 0 and self.map.pt_valid[existing]:
+                    # Merge: keep the more-observed point (reference:
+                    # src/ORBmatcher.cc:1061-1075).
+                    if obs_counts[existing] >= obs_counts[pid]:
+                        self.map.replace_point(pid, existing)
+                    else:
+                        self.map.replace_point(existing, pid)
+                else:
+                    self.map.kf_point_idx[target_kf, feat] = pid
+
         def fuse_into(target_kf: int, pt_ids: np.ndarray) -> None:
             pt_ids = pt_ids[self.map.pt_valid[pt_ids]]
             if pt_ids.size == 0:
@@ -295,29 +448,54 @@ class LocalMapper:
                 n_levels=self.config.orb.n_levels,
                 scale=self.config.orb.scale_factor,
             )
-            idx = np.asarray(m.idx)
-            obs_counts = self.map.observation_count()
-            for r in np.where(idx >= 0)[0]:
-                pid = int(pt_ids[r])
-                feat = int(idx[r])
-                existing = int(self.map.kf_point_idx[target_kf, feat])
-                if existing == pid:
-                    continue
-                if existing >= 0 and self.map.pt_valid[existing]:
-                    # Merge: keep the more-observed point (reference:
-                    # src/ORBmatcher.cc:1061-1075).
-                    if obs_counts[existing] >= obs_counts[pid]:
-                        self.map.replace_point(pid, existing)
-                    else:
-                        self.map.replace_point(existing, pid)
-                else:
-                    self.map.kf_point_idx[target_kf, feat] = pid
+            merge_matches(target_kf, pt_ids, np.asarray(m.idx))
 
         kf_pts = self.map.kf_point_idx[kf]
         kf_pts = np.unique(kf_pts[kf_pts >= 0])
-        for tk in targets:
-            fuse_into(tk, kf_pts)
-        # Reverse: fuse neighbor points into this KF.
+        kf_pts = kf_pts[self.map.pt_valid[kf_pts]]
+        staged = os.environ.get("ORB_TPU_STAGED_MAPPER") == "1"
+        if targets and kf_pts.size and not staged:
+            # Forward direction batched: ONE dispatch projects this KF's
+            # points into every target (jit_mapper.fused_fuse_forward_jit);
+            # merges replay on the host in target order, matching the
+            # staged loop's sequential map mutation.
+            from orb_slam2_commit_tpu.slam import jit_mapper
+            from orb_slam2_commit_tpu.slam.tracking import _round_up_pow2
+
+            B = _round_up_pow2(len(targets), 4)
+            P = _round_up_pow2(kf_pts.size, 256)
+            pt_f32 = np.zeros((P, jit_mapper.FUSE_PT_COLS), np.float32)
+            pt_f32[: kf_pts.size, 0:3] = self.map.pt_pos[kf_pts]
+            pt_f32[: kf_pts.size, 3:6] = self.map.pt_normal[kf_pts]
+            pt_f32[: kf_pts.size, 6] = self.map.pt_min_dist[kf_pts]
+            pt_f32[: kf_pts.size, 7] = self.map.pt_max_dist[kf_pts]
+            pt_f32[: kf_pts.size, 8] = 1.0
+            pt_desc = np.zeros((P, 8), np.uint32)
+            pt_desc[: kf_pts.size] = self.map.pt_desc[kf_pts]
+            n = self.map.n_feat
+            tgt_feat = np.zeros((B, n, jit_mapper.FUSE_FEAT_COLS), np.float32)
+            tgt_desc = np.zeros((B, n, 8), np.uint32)
+            tgt_meta = np.zeros((B, jit_mapper.FUSE_TGT_COLS), np.float32)
+            for b, tk in enumerate(targets):
+                tgt_feat[b, :, 0:2] = self.map.kf_xy[tk]
+                tgt_feat[b, :, 2] = self.map.kf_octave[tk]
+                tgt_feat[b, :, 3] = self.map.kf_feat_valid[tk]
+                tgt_desc[b] = self.map.kf_desc[tk]
+                tgt_meta[b, 0:9] = self.map.kf_pose_R[tk].reshape(-1)
+                tgt_meta[b, 9:12] = self.map.kf_pose_t[tk]
+                tgt_meta[b, 12] = 1.0
+            idx_b = np.asarray(jit_mapper.fused_fuse_forward_jit(
+                jnp.asarray(pt_f32), jnp.asarray(pt_desc),
+                jnp.asarray(tgt_feat), jnp.asarray(tgt_desc),
+                jnp.asarray(tgt_meta), self.config,
+            )).astype(np.int64)
+            for b, tk in enumerate(targets):
+                merge_matches(tk, kf_pts, idx_b[b, : kf_pts.size])
+        else:
+            for tk in targets:
+                fuse_into(tk, kf_pts)
+        # Reverse: fuse neighbor points into this KF (already a single
+        # dispatch over the union point set).
         if targets:
             neigh_pts = np.unique(
                 np.concatenate([self.map.kf_point_idx[tk] for tk in targets])
