@@ -27,19 +27,21 @@ def run(cfg, images, vocab):
 
 def ate_of(sys_, poses_gt):
     est = sys_.trajectory_positions()
-    lost = np.asarray([e.lost for e in sys_.tracker.trajectory], bool)
     gt = np.asarray([-R.T @ t for R, t in poses_gt])
+    if est.shape[0] < 5:
+        return float("nan"), gt
+    lost = np.asarray([e.lost for e in sys_.tracker.trajectory], bool)
     offset = len(poses_gt) - len(est)
     ok = ~lost
     return traj.ate_rmse(est[ok], gt[offset:][ok], align_scale=True), gt
 
 
 def main():
-    n_frames = int(sys.argv[1]) if len(sys.argv) > 1 else 90
-    cfg = synthetic_config(width=400, height=300, n_features=1000)
+    n_frames = int(sys.argv[1]) if len(sys.argv) > 1 else 132
+    cfg = synthetic_config(width=400, height=300, n_features=500)
     t0 = time.time()
     images, poses_gt, scene = synthetic.render_loop_sequence(
-        cfg.camera, n_frames=n_frames, n_points=700, seed=4,
+        cfg.camera, n_frames=n_frames, frac=1.35, seed=4,
     )
     print(f"rendered {n_frames} frames in {time.time()-t0:.0f}s")
 
