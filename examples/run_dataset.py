@@ -24,14 +24,19 @@ import time
 
 import numpy as np
 
-from orb_slam2_commit_tpu.slam.system import System
-from orb_slam2_commit_tpu.utils import datasets, settings
-
 
 def main(argv):
     args = [a for a in argv if not a.startswith("--")]
     flags = {a.split("=")[0]: (a.split("=") + [True])[1]
              for a in argv if a.startswith("--")}
+    if not args:
+        print(__doc__)
+        return 1
+    # Deferred so `run_dataset.py` with no/bad args prints usage without
+    # initializing a device backend.
+    from orb_slam2_commit_tpu.slam.system import System
+    from orb_slam2_commit_tpu.utils import datasets, settings
+
     mode = args[0]
 
     if mode == "tum-rgbd":
