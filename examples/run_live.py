@@ -15,9 +15,20 @@ Usage:
   # Directory watch: consume new image files as they appear (the
   # file-drop equivalent of an image topic):
   PYTHONPATH=. python examples/run_live.py --watch <dir> --settings <yaml>
+
+  # Network stream: subscribe to a length-prefixed frame socket (the
+  # image-topic wire equivalent; see publish_frames for the publisher):
+  PYTHONPATH=. python examples/run_live.py --listen 7007 --settings <yaml>
+  PYTHONPATH=. python examples/run_live.py --connect host:7007 --settings <yaml>
+
+  # V4L2 camera / video file (OpenCV capture):
+  PYTHONPATH=. python examples/run_live.py --camera 0 --settings <yaml>
+  PYTHONPATH=. python examples/run_live.py --video clip.avi --settings <yaml>
 """
 
 import os
+import socket
+import struct
 import sys
 import time
 
@@ -25,7 +36,11 @@ import numpy as np
 
 
 class FrameSource:
-    """Interface: iterate (timestamp, gray_image float32[H, W]) pairs."""
+    """Interface: iterate (timestamp, gray_image [H, W]) pairs.
+
+    Images may be uint8 or float32 — the extraction graphs cast in-graph,
+    and uint8 keeps host->device transfer (and network) bandwidth 4x down.
+    """
 
     def frames(self):
         raise NotImplementedError
@@ -79,6 +94,131 @@ class DirectoryWatchSource(FrameSource):
             for f in names:
                 seen.add(f)
                 yield time.time(), _load_gray(os.path.join(self.path, f))
+
+
+# ----------------------------------------------------------------------
+# Network transport — the image-topic wire, without ROS.
+#
+# Per frame: header '!4sdIIB' = magic b'OSF1' | f64 timestamp | u32 H |
+# u32 W | u8 dtype code (0 = uint8, 1 = float32) | row-major payload.
+# ----------------------------------------------------------------------
+
+_FRAME_MAGIC = b"OSF1"
+_FRAME_HDR = struct.Struct("!4sdIIB")
+_DTYPES = {0: np.uint8, 1: np.float32}
+_DTYPE_CODES = {np.dtype(np.uint8): 0, np.dtype(np.float32): 1}
+
+
+def publish_frames(sock, frames):
+    """Publisher side: stream (timestamp, image) pairs over a socket.
+
+    The counterpart of a ROS image publisher; any process holding a
+    connected socket can feed a SocketSource-driven System with this.
+    """
+    for ts, image in frames:
+        image = np.ascontiguousarray(image)
+        code = _DTYPE_CODES[image.dtype]
+        h, w = image.shape
+        sock.sendall(_FRAME_HDR.pack(_FRAME_MAGIC, float(ts), h, w, code))
+        sock.sendall(image.tobytes())
+
+
+def _recv_exact(sock, n):
+    buf = bytearray()
+    while len(buf) < n:
+        chunk = sock.recv(n - len(buf))
+        if not chunk:
+            return None
+        buf += chunk
+    return bytes(buf)
+
+
+class SocketSource(FrameSource):
+    """Subscribes to a frame stream on a TCP socket.
+
+    listen=True binds and accepts one publisher (subscriber-as-server,
+    like a ROS master-side subscription); listen=False connects out to a
+    publisher. Iteration ends at EOF / publisher disconnect.
+    """
+
+    def __init__(self, host="127.0.0.1", port=7007, listen=True, sock=None,
+                 timeout_s=30.0):
+        self.host, self.port, self.listen = host, port, listen
+        self.timeout_s = timeout_s
+        self._sock = sock   # pre-connected socket (tests, in-process pipes)
+
+    def frames(self):
+        sock = self._sock
+        server = None
+        if sock is None:
+            if self.listen:
+                server = socket.create_server((self.host, self.port))
+                server.settimeout(self.timeout_s)
+                sock, _ = server.accept()
+            else:
+                sock = socket.create_connection(
+                    (self.host, self.port), timeout=self.timeout_s
+                )
+        sock.settimeout(self.timeout_s)
+        try:
+            while True:
+                hdr = _recv_exact(sock, _FRAME_HDR.size)
+                if hdr is None:
+                    return
+                magic, ts, h, w, code = _FRAME_HDR.unpack(hdr)
+                if magic != _FRAME_MAGIC or code not in _DTYPES:
+                    raise ValueError("bad frame header on socket stream")
+                dtype = _DTYPES[code]
+                payload = _recv_exact(sock, h * w * np.dtype(dtype).itemsize)
+                if payload is None:
+                    return
+                yield ts, np.frombuffer(payload, dtype).reshape(h, w)
+        finally:
+            sock.close()
+            if server is not None:
+                server.close()
+
+
+class OpenCVCaptureSource(FrameSource):
+    """V4L2 camera (int index) or video file (str path) via cv2.VideoCapture.
+
+    The capability of the reference's ROS Mono node fed by a usb_cam
+    driver (reference README.md:190-211), collapsed into one process:
+    capture -> grayscale -> track. Video files are paced to their
+    container fps unless realtime=False (offline replay).
+    """
+
+    def __init__(self, target, realtime=None):
+        self.target = target
+        self.is_camera = isinstance(target, int)
+        self.realtime = self.is_camera if realtime is None else realtime
+
+    def frames(self):
+        import cv2
+
+        cap = cv2.VideoCapture(self.target)
+        if not cap.isOpened():
+            raise RuntimeError(f"cannot open capture {self.target!r}")
+        fps = cap.get(cv2.CAP_PROP_FPS) or 30.0
+        t0 = time.time()
+        i = 0
+        try:
+            while True:
+                ok, frame = cap.read()
+                if not ok:
+                    return
+                if frame.ndim == 3:
+                    frame = cv2.cvtColor(frame, cv2.COLOR_BGR2GRAY)
+                ts = time.time() - t0 if self.is_camera else i / fps
+                if self.realtime and not self.is_camera:
+                    target = t0 + ts
+                    now = time.time()
+                    if target > now:
+                        time.sleep(target - now)
+                yield ts, np.ascontiguousarray(frame, np.uint8)
+                i += 1
+        finally:
+            cap.release()
 
 
 def run_live(source, config, vocab="default", drop_when_behind=True,
@@ -142,13 +282,24 @@ def main(argv):
         config = synthetic_config(width=400, height=300, n_features=1000)
         src = SyntheticSource(config, n_frames=n)
         run_live(src, config, use_viewer=use_viewer, viewer_dir=viewer_dir)
-    elif "--watch" in flags:
+    elif any(k in flags for k in
+             ("--watch", "--listen", "--connect", "--camera", "--video")):
         from orb_slam2_commit_tpu.utils import settings
 
         config = settings.config_from_settings(
             flags["--settings"], sensor="monocular"
         )
-        src = DirectoryWatchSource(flags["--watch"])
+        if "--watch" in flags:
+            src = DirectoryWatchSource(flags["--watch"])
+        elif "--listen" in flags:
+            src = SocketSource(port=int(flags["--listen"]), listen=True)
+        elif "--connect" in flags:
+            host, port = flags["--connect"].rsplit(":", 1)
+            src = SocketSource(host=host, port=int(port), listen=False)
+        elif "--camera" in flags:
+            src = OpenCVCaptureSource(int(flags["--camera"]))
+        else:
+            src = OpenCVCaptureSource(flags["--video"])
         run_live(src, config, use_viewer=use_viewer, viewer_dir=viewer_dir)
     else:
         print(__doc__)
