@@ -99,28 +99,37 @@ class DirectoryWatchSource(FrameSource):
 # ----------------------------------------------------------------------
 # Network transport — the image-topic wire, without ROS.
 #
-# Per frame: header '!4sdIIB' = magic b'OSF1' | f64 timestamp | u32 H |
-# u32 W | u8 dtype code (0 = uint8, 1 = float32) | row-major payload.
+# Per frame: header '!4sdB' = magic b'OSF1' | f64 timestamp | u8 plane
+# count, then per plane '!IIB' = u32 H | u32 W | u8 dtype code
+# (0 = uint8, 1 = float32) followed by the row-major payload. One plane
+# is a monocular frame; two planes carry left+right (stereo) or
+# gray+depth (RGB-D) — the synchronized-pair message of the reference's
+# Stereo/RGBD ROS nodes (reference README.md:224-248).
 # ----------------------------------------------------------------------
 
 _FRAME_MAGIC = b"OSF1"
-_FRAME_HDR = struct.Struct("!4sdIIB")
+_FRAME_HDR = struct.Struct("!4sdB")
+_PLANE_HDR = struct.Struct("!IIB")
 _DTYPES = {0: np.uint8, 1: np.float32}
 _DTYPE_CODES = {np.dtype(np.uint8): 0, np.dtype(np.float32): 1}
 
 
 def publish_frames(sock, frames):
-    """Publisher side: stream (timestamp, image) pairs over a socket.
+    """Publisher side: stream (timestamp, image[, aux]) tuples over a
+    socket — aux is the right image (stereo) or depth map (RGB-D).
 
     The counterpart of a ROS image publisher; any process holding a
     connected socket can feed a SocketSource-driven System with this.
     """
-    for ts, image in frames:
-        image = np.ascontiguousarray(image)
-        code = _DTYPE_CODES[image.dtype]
-        h, w = image.shape
-        sock.sendall(_FRAME_HDR.pack(_FRAME_MAGIC, float(ts), h, w, code))
-        sock.sendall(image.tobytes())
+    for item in frames:
+        ts, planes = item[0], item[1:]
+        sock.sendall(_FRAME_HDR.pack(_FRAME_MAGIC, float(ts), len(planes)))
+        for image in planes:
+            image = np.ascontiguousarray(image)
+            code = _DTYPE_CODES[image.dtype]
+            h, w = image.shape
+            sock.sendall(_PLANE_HDR.pack(h, w, code))
+            sock.sendall(image.tobytes())
 
 
 def _recv_exact(sock, n):
@@ -165,14 +174,27 @@ class SocketSource(FrameSource):
                 hdr = _recv_exact(sock, _FRAME_HDR.size)
                 if hdr is None:
                     return
-                magic, ts, h, w, code = _FRAME_HDR.unpack(hdr)
-                if magic != _FRAME_MAGIC or code not in _DTYPES:
+                magic, ts, n_planes = _FRAME_HDR.unpack(hdr)
+                if magic != _FRAME_MAGIC or not 1 <= n_planes <= 2:
                     raise ValueError("bad frame header on socket stream")
-                dtype = _DTYPES[code]
-                payload = _recv_exact(sock, h * w * np.dtype(dtype).itemsize)
-                if payload is None:
-                    return
-                yield ts, np.frombuffer(payload, dtype).reshape(h, w)
+                planes = []
+                for _ in range(n_planes):
+                    ph = _recv_exact(sock, _PLANE_HDR.size)
+                    if ph is None:
+                        return
+                    h, w, code = _PLANE_HDR.unpack(ph)
+                    if code not in _DTYPES:
+                        raise ValueError("bad plane dtype on socket stream")
+                    dtype = _DTYPES[code]
+                    payload = _recv_exact(
+                        sock, h * w * np.dtype(dtype).itemsize
+                    )
+                    if payload is None:
+                        return
+                    planes.append(
+                        np.frombuffer(payload, dtype).reshape(h, w)
+                    )
+                yield (ts, *planes)
         finally:
             sock.close()
             if server is not None:
@@ -248,14 +270,21 @@ def run_live(source, config, vocab="default", drop_when_behind=True,
     n_in = n_tracked = n_dropped = 0
     stale_s = 1.5 / fps
     t_start = time.time()
+    sensor = config.sensor if config is not None else "monocular"
 
-    for ts, image in source.frames():
+    for item in source.frames():
+        ts, image, aux = item[0], item[1], item[2] if len(item) > 2 else None
         n_in += 1
         age = (time.time() - t_start) - ts
         if drop_when_behind and age > stale_s and n_in > 2:
             n_dropped += 1
             continue
-        pose = system.track_monocular(image, ts)
+        if sensor == "stereo":
+            pose = system.track_stereo(image, aux, ts)
+        elif sensor == "rgbd":
+            pose = system.track_rgbd(image, aux, ts)
+        else:
+            pose = system.track_monocular(image, ts)
         if viewer is not None:
             viewer.update(system.tracker.last_frame, image)
         if pose is not None:
@@ -287,7 +316,7 @@ def main(argv):
         from orb_slam2_commit_tpu.utils import settings
 
         config = settings.config_from_settings(
-            flags["--settings"], sensor="monocular"
+            flags["--settings"], sensor=flags.get("--sensor", "monocular")
         )
         if "--watch" in flags:
             src = DirectoryWatchSource(flags["--watch"])

@@ -97,6 +97,30 @@ class TestSocketSource:
         assert len(got) == 4
         np.testing.assert_array_equal(got[-1][1], sent[-1][1])
 
+    def test_stereo_pair_roundtrip(self, rl):
+        """Two-plane records: the synchronized left+right (or gray+depth)
+        message of the reference's Stereo/RGBD ROS nodes."""
+        rng = np.random.default_rng(3)
+        sent = [
+            (0.1 * i,
+             rng.integers(0, 256, (32, 48), dtype=np.uint8),
+             rng.random((32, 48), dtype=np.float32))
+            for i in range(4)
+        ]
+        a, b = socket.socketpair()
+        pub = threading.Thread(
+            target=lambda: (rl.publish_frames(a, sent), a.close())
+        )
+        pub.start()
+        got = list(rl.SocketSource(sock=b).frames())
+        pub.join(timeout=10)
+        assert len(got) == 4
+        for (ts0, l0, r0), (ts1, l1, r1) in zip(sent, got):
+            assert ts1 == pytest.approx(ts0)
+            np.testing.assert_array_equal(l0, l1)
+            np.testing.assert_array_equal(r0, r1)
+            assert r1.dtype == np.float32
+
     def test_bad_magic_raises(self, rl):
         a, b = socket.socketpair()
         a.sendall(b"XXXX" + b"\x00" * (rl._FRAME_HDR.size - 4))
@@ -166,17 +190,35 @@ class _FakeSystem:
 
     def __init__(self, config, vocabulary=None):
         self.tracked = []
+        self.calls = []
         self.track_delay = 0.0
         _FakeSystem.instance = self
 
-    def track_monocular(self, image, ts):
+    def _rec(self, kind, ts):
+        self.calls.append(kind)
         self.tracked.append(ts)
         if self.track_delay:
             time.sleep(self.track_delay)
         return np.eye(4)
 
+    def track_monocular(self, image, ts):
+        return self._rec("mono", ts)
+
+    def track_stereo(self, left, right, ts):
+        assert right is not None
+        return self._rec("stereo", ts)
+
+    def track_rgbd(self, image, depth, ts):
+        assert depth is not None
+        return self._rec("rgbd", ts)
+
     def shutdown(self):
         pass
+
+
+class _SensorCfg:
+    def __init__(self, sensor):
+        self.sensor = sensor
 
 
 class _ListSource:
@@ -185,10 +227,10 @@ class _ListSource:
         self.pace_s = pace_s
 
     def frames(self):
-        for ts, im in self.items:
+        for item in self.items:
             if self.pace_s:
                 time.sleep(self.pace_s)
-            yield ts, im
+            yield item
 
 
 class TestDropPolicy:
@@ -226,3 +268,22 @@ class TestDropPolicy:
         items = [(i / 30.0, np.zeros((16, 16), np.uint8)) for i in range(8)]
         rl.run_live(_ListSource(items), config=None, vocab=None, fps=30.0)
         assert len(_FakeSystem.instance.tracked) == 8
+        assert _FakeSystem.instance.calls == ["mono"] * 8
+
+    def test_sensor_dispatch(self, rl, monkeypatch):
+        """Two-plane frames route to track_stereo / track_rgbd per the
+        config's sensor — the Stereo/RGBD ROS node grabbers."""
+        monkeypatch.setattr(
+            "orb_slam2_commit_tpu.slam.system.System", _FakeSystem
+        )
+        im = np.zeros((16, 16), np.uint8)
+        dep = np.ones((16, 16), np.float32)
+        items = [(i / 30.0, im, dep) for i in range(4)]
+        rl.run_live(
+            _ListSource(items), config=_SensorCfg("stereo"), vocab=None
+        )
+        assert _FakeSystem.instance.calls == ["stereo"] * 4
+        rl.run_live(
+            _ListSource(items), config=_SensorCfg("rgbd"), vocab=None
+        )
+        assert _FakeSystem.instance.calls == ["rgbd"] * 4
