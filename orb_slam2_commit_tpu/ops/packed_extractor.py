@@ -43,6 +43,7 @@ and coordinate rescaling, restructured for launch-latency-bound hardware.
 from __future__ import annotations
 
 import functools
+import os
 from typing import NamedTuple, Tuple
 
 import jax
@@ -91,6 +92,21 @@ def make_plan(config: ORBConfig, height: int, width: int) -> PackPlan:
         width=shapes[0][1],
         border=border,
     )
+
+
+@functools.lru_cache(maxsize=None)
+def _bounds_np(plan: PackPlan, hp: int) -> np.ndarray:
+    """[hp, 128] int32 row-wise detection bounds: col 0 = x0, col 1 = x1
+    ([x0, x1) valid detection columns; 0-width outside level interiors).
+    The row-encoded form of _border_mask_np for pallas_level.combine_nms
+    (level interiors are rectangles, so one x-range per row is exact)."""
+    out = np.zeros((hp, 128), np.int32)
+    b = plan.border
+    for (h, w), off in zip(plan.shapes, plan.row_offsets):
+        if h > 2 * b and w > 2 * b:
+            out[off + b: off + h - b, 0] = b
+            out[off + b: off + h - b, 1] = w - b
+    return out
 
 
 @functools.lru_cache(maxsize=None)
@@ -249,11 +265,35 @@ def extract_features_packed(
 
     canvas = build_canvas(image, plan)
 
-    blur_c, hi_c, lo_c = pallas_level.level_preprocess(
-        canvas, float(config.ini_th_fast), float(config.min_th_fast)
-    )
-    mask = jnp.asarray(_border_mask_np(plan))
-    score = fast.combine_two_threshold(hi_c * mask, lo_c * mask, config.cell_size)
+    fused_nms = os.environ.get("ORB_TPU_FUSED_NMS", "1") == "1"
+    if fused_nms and config.cell_size == pallas_level.CELL:
+        # Fused path: unsliced score maps -> one mask+combine+NMS kernel
+        # (the XLA formulation below moves ~245 MB/frame through HBM).
+        # Pad rows/cols of the full-canvas maps carry edge-pad garbage;
+        # the kernel's row bounds mask them to zero.
+        blur_c, hi_c, lo_c = pallas_level.level_preprocess(
+            canvas, float(config.ini_th_fast), float(config.min_th_fast),
+            full_canvas=True,
+        )
+        hp = hi_c.shape[0]
+        if hp >= pallas_level._CNMS_WIN:
+            bounds = jnp.asarray(_bounds_np(plan, hp))
+            score = pallas_level.combine_nms(hi_c, lo_c, bounds)
+        else:   # tiny canvas (unit tests): XLA fallback
+            m = jnp.asarray(_border_mask_np(plan))
+            mp = jnp.zeros(hi_c.shape, m.dtype).at[
+                : m.shape[0], : m.shape[1]].set(m)
+            score = fast.combine_two_threshold(
+                hi_c * mp, lo_c * mp, config.cell_size
+            )
+    else:
+        blur_c, hi_c, lo_c = pallas_level.level_preprocess(
+            canvas, float(config.ini_th_fast), float(config.min_th_fast)
+        )
+        mask = jnp.asarray(_border_mask_np(plan))
+        score = fast.combine_two_threshold(
+            hi_c * mask, lo_c * mask, config.cell_size
+        )
 
     yx, resp, valid = packed_select(
         score, plan, budgets, config.cell_size, config.cell_top_k

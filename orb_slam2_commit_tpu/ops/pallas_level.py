@@ -137,17 +137,25 @@ def _level_kernel(
     )
 
 
-@functools.partial(jax.jit, static_argnames=("th_hi", "th_lo", "interpret"))
+@functools.partial(
+    jax.jit, static_argnames=("th_hi", "th_lo", "interpret", "full_canvas")
+)
 def level_preprocess(
     image: jnp.ndarray,       # [H, W] float32
     th_hi: float,
     th_lo: float,
     interpret: bool | None = None,
+    full_canvas: bool = False,
 ):
     """-> (blurred[H, W], score_hi[H, W], score_lo[H, W]).
 
     Bit-identical to ops/pyramid.gaussian_blur (reflect padding) and
     ops/fast.fast_score_map at both thresholds.
+
+    full_canvas=True returns the UNSLICED stripe-padded arrays
+    ([round_up(H, 64), round_up(W, 128)]; pad rows/cols carry edge-padded
+    garbage that downstream masking must ignore) — this feeds
+    combine_nms without a slice+repad round trip through HBM.
     """
     if interpret is None:
         interpret = _interpret()
@@ -188,4 +196,173 @@ def level_preprocess(
         ],
         interpret=interpret,
     )(img)
+    if full_canvas:
+        return blur, hi, lo
     return blur[:h, :w], hi[:h, :w], lo[:h, :w]
+
+
+# ----------------------------------------------------------------------
+# Fused border-mask + two-threshold cell combine + 3x3 NMS.
+#
+# The XLA formulation (mask multiplies + fast.combine_two_threshold +
+# fast.nms_3x3) moves ~245 MB/frame through HBM at 640x480 — reduce_window
+# and the cell repeat/reshape each re-materialize canvas-sized arrays.
+# This kernel reads the two score maps once (2x row overlap for the cell
+# halo), does everything in VMEM, and writes the final NMS'd map:
+# ~37 MB/frame. Cell "has-high-response" tests use SUM > 0 instead of
+# MAX > 0 (scores are non-negative, so they agree exactly) because group
+# sums are two tiny MXU matmuls against 0/1 indicator matrices — there is
+# no cheap cross-lane group-max on the VPU.
+#
+# Oracle (bit-identical): nms_3x3(where(cell_has_hi, hi*mask, lo*mask)),
+# fast.combine_two_threshold semantics, reference
+# src/ORBextractor.cc:441-460 (two-threshold cell fallback) + the cv FAST
+# nonmax suppression.
+# ----------------------------------------------------------------------
+
+CELL = 32          # must match ORBConfig.cell_size for the packed route
+_CNMS_WIN = 128    # rows windowed per 64-row output stripe (cell halo)
+
+
+def _combine_nms_kernel(
+    hi_hbm, lo_hbm, bounds_hbm, out_ref,
+    hi_v, lo_v, bounds_v, sem_h, sem_l, sem_b,
+    *, hp: int,
+):
+    i = pl.program_id(0)
+    # Window: output rows [i*64, i*64+64) need combined scores at +-1 row
+    # (NMS) and cell sums for cell rows (i*64-1)//32 .. (i*64+64)//32 —
+    # i.e. canvas rows [i*64-32, i*64+96). Clamp into the canvas; the
+    # clamped-away rows belong to cells whose pixels are all border-masked
+    # zeros, so substituting nothing changes no output (see module note).
+    # start must be PROVABLY sublane-aligned for the HBM memref slice:
+    # clip in units of 8 rows, then scale (Mosaic proves q*8 % 8 == 0;
+    # it cannot prove that through a clip of raw row offsets).
+    q = jnp.clip(
+        i * (STRIPE // 8) - CELL // 8, 0, hp // 8 - _CNMS_WIN // 8
+    )
+    start = q * 8
+    d = i * STRIPE - start                    # output row offset in window
+
+    for ref, vref, sem in (
+        (hi_hbm, hi_v, sem_h), (lo_hbm, lo_v, sem_l),
+        (bounds_hbm, bounds_v, sem_b),
+    ):
+        cp = pltpu.make_async_copy(
+            ref.at[pl.ds(start, _CNMS_WIN), :], vref, sem
+        )
+        cp.start()
+        cp.wait()
+
+    wp = out_ref.shape[1]
+    rows = _CNMS_WIN
+    ix = lax.broadcasted_iota(jnp.int32, (rows, wp), 1)
+    x0 = bounds_v[:, 0:1]
+    x1 = bounds_v[:, 1:2]
+    mask = (ix >= x0) & (ix < x1)
+    mhi = jnp.where(mask, hi_v[:, :], 0.0)
+    mlo = jnp.where(mask, lo_v[:, :], 0.0)
+
+    # Per-pixel cell sums of mhi via 0/1 indicator matmuls (MXU):
+    #   csum[c, cc] = sum of cell (c, cc); cell_px = row/col broadcast.
+    # start % 32 == 0 always (STRIPE, CELL, hp all multiples of 32), so
+    # window rows group into whole cells.
+    n_cr = rows // CELL
+    ErT = (
+        lax.broadcasted_iota(jnp.int32, (n_cr, rows), 1) // CELL
+        == lax.broadcasted_iota(jnp.int32, (n_cr, rows), 0)
+    ).astype(jnp.float32)                                 # [n_cr, rows]
+    Er = (
+        lax.broadcasted_iota(jnp.int32, (rows, n_cr), 0) // CELL
+        == lax.broadcasted_iota(jnp.int32, (rows, n_cr), 1)
+    ).astype(jnp.float32)                                 # [rows, n_cr]
+    EcT = (
+        lax.broadcasted_iota(jnp.int32, (wp, 128), 0) // CELL
+        == lax.broadcasted_iota(jnp.int32, (wp, 128), 1)
+    ).astype(jnp.float32)                                 # [wp, 128]
+    Ec = (
+        lax.broadcasted_iota(jnp.int32, (128, wp), 1) // CELL
+        == lax.broadcasted_iota(jnp.int32, (128, wp), 0)
+    ).astype(jnp.float32)                                 # [128, wp]
+    csum = jnp.dot(
+        jnp.dot(ErT, mhi, preferred_element_type=jnp.float32),
+        EcT, preferred_element_type=jnp.float32,
+    )                                                     # [n_cr, 128]
+    cell_px = jnp.dot(
+        Er, jnp.dot(csum, Ec, preferred_element_type=jnp.float32),
+        preferred_element_type=jnp.float32,
+    )                                                     # [rows, wp]
+
+    combined = jnp.where(cell_px > 0.0, mhi, mlo)
+
+    # 3x3 NMS with raster-first tie-breaking (oracle: fast.nms_3x3).
+    # Cyclic wrap at window edges only touches rows/columns whose scores
+    # are border-masked zeros (border >= 19 >> 1), so it never flips an
+    # output.
+    nb_max = combined
+    for dy in (-1, 0, 1):
+        for dx in (-1, 0, 1):
+            if dy or dx:
+                nb_max = jnp.maximum(nb_max, _shift2(combined, dy, dx))
+    is_max = (combined >= nb_max) & (combined > 0.0)
+    flat = (
+        (start + lax.broadcasted_iota(jnp.int32, (rows, wp), 0)) * wp + ix
+    )
+    big = jnp.int32(hp * wp)
+    idx_map = jnp.where(is_max, flat, big)
+    nb_min = idx_map
+    for dy in (-1, 0, 1):
+        for dx in (-1, 0, 1):
+            if dy or dx:
+                nb_min = jnp.minimum(nb_min, _shift2(idx_map, dy, dx))
+    keep = is_max & (flat == nb_min)
+    score = jnp.where(keep, combined, 0.0)
+    # Traced-start slicing isn't lowerable; rotate the output window to
+    # row 0 with a dynamic roll and take a static slice.
+    score = pltpu.roll(score, (-d) % rows, 0)
+    out_ref[:, :] = lax.slice(score, (0, 0), (STRIPE, wp))
+
+
+@functools.partial(jax.jit, static_argnames=("interpret",))
+def combine_nms(
+    score_hi: jnp.ndarray,    # [hp, wp] float32, hp % 64 == 0, wp % 128 == 0
+    score_lo: jnp.ndarray,
+    bounds: jnp.ndarray,      # [hp, 128] int32: col 0 = x0, col 1 = x1
+    interpret: bool | None = None,
+) -> jnp.ndarray:
+    """Fused mask + per-cell two-threshold combine + 3x3 NMS -> [hp, wp].
+
+    bounds gives each canvas row its valid detection column range
+    [x0, x1) (0-width outside some level's interior) — the row-wise
+    encoding of packed_extractor._border_mask_np. Bit-identical to
+    nms_3x3(combine_two_threshold(hi*mask, lo*mask, 32)) on the same
+    padded canvas.
+    """
+    if interpret is None:
+        interpret = _interpret()
+    hp, wp = score_hi.shape
+    assert hp % STRIPE == 0 and wp % 128 == 0 and hp >= _CNMS_WIN
+    assert bounds.shape == (hp, 128)
+
+    return pl.pallas_call(
+        functools.partial(_combine_nms_kernel, hp=hp),
+        grid=(hp // STRIPE,),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.ANY),
+            pl.BlockSpec(memory_space=pltpu.ANY),
+            pl.BlockSpec(memory_space=pltpu.ANY),
+        ],
+        out_specs=pl.BlockSpec(
+            (STRIPE, wp), lambda i: (i, 0), memory_space=pltpu.VMEM
+        ),
+        out_shape=jax.ShapeDtypeStruct((hp, wp), jnp.float32),
+        scratch_shapes=[
+            pltpu.VMEM((_CNMS_WIN, wp), jnp.float32),
+            pltpu.VMEM((_CNMS_WIN, wp), jnp.float32),
+            pltpu.VMEM((_CNMS_WIN, 128), jnp.int32),
+            pltpu.SemaphoreType.DMA(()),
+            pltpu.SemaphoreType.DMA(()),
+            pltpu.SemaphoreType.DMA(()),
+        ],
+        interpret=interpret,
+    )(score_hi, score_lo, bounds)

@@ -55,3 +55,60 @@ def test_two_threshold_from_kernel_maps():
     np.testing.assert_array_equal(
         np.asarray(combined) > 0, np.asarray(ref) > 0
     )
+
+
+class TestCombineNMS:
+    """Fused mask + cell-combine + NMS kernel vs the XLA formulation."""
+
+    def _oracle(self, hi, lo, bounds):
+        hp, wp = hi.shape
+        m = np.zeros((hp, wp), np.float32)
+        b = np.asarray(bounds)
+        for r in range(hp):
+            m[r, b[r, 0]: b[r, 1]] = 1.0
+        m = jnp.asarray(m)
+        return fast.combine_two_threshold(
+            hi * m, lo * m, cell_size=pallas_level.CELL
+        )
+
+    @pytest.mark.parametrize("hw", [(128, 128), (256, 384), (192, 256)])
+    def test_matches_xla(self, hw):
+        hp, wp = hw
+        rng = np.random.default_rng(hp + wp)
+        # FAST-like sparse non-negative score maps (ties included: small
+        # integer-valued scores exercise the raster tie-breaking).
+        def smap():
+            s = rng.integers(0, 6, (hp, wp)).astype(np.float32)
+            s *= rng.random((hp, wp)) < 0.08
+            return jnp.asarray(s)
+
+        hi, lo = smap(), smap()
+        # Two stacked pseudo-levels with distinct interiors + dead rows.
+        bounds = np.zeros((hp, 128), np.int32)
+        bounds[20: hp // 2 - 20, 0] = 19
+        bounds[20: hp // 2 - 20, 1] = wp - 23
+        bounds[hp // 2 + 20: hp - 20, 0] = 19
+        bounds[hp // 2 + 20: hp - 20, 1] = wp // 2
+        got = pallas_level.combine_nms(
+            hi, lo, jnp.asarray(bounds), interpret=True
+        )
+        ref = self._oracle(hi, lo, bounds)
+        np.testing.assert_array_equal(np.asarray(got), np.asarray(ref))
+
+    def test_all_low_cells(self):
+        """No high-threshold responses anywhere -> pure lo map + NMS."""
+        hp, wp = 128, 256
+        rng = np.random.default_rng(4)
+        lo = jnp.asarray(
+            (rng.integers(0, 5, (hp, wp)) * (rng.random((hp, wp)) < 0.1))
+            .astype(np.float32)
+        )
+        hi = jnp.zeros((hp, wp), jnp.float32)
+        bounds = np.zeros((hp, 128), np.int32)
+        bounds[19: hp - 19, 0] = 19
+        bounds[19: hp - 19, 1] = wp - 19
+        got = pallas_level.combine_nms(
+            hi, lo, jnp.asarray(bounds), interpret=True
+        )
+        ref = self._oracle(hi, lo, bounds)
+        np.testing.assert_array_equal(np.asarray(got), np.asarray(ref))
