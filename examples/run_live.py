@@ -300,14 +300,46 @@ def run_live(source, config, vocab="default", drop_when_behind=True,
     return system
 
 
+def parse_flags(argv):
+    """Parse `--flag=value`, `--flag value`, and bare `--flag` forms.
+
+    A bare value-taking flag (e.g. `--listen` followed by another flag or
+    nothing) parses to True; callers that int()/index a flag must check —
+    value_of() below raises a clear error instead of silently coercing
+    True to 1 (which previously bound port 1 / camera 1)."""
+    flags = {}
+    i = 0
+    while i < len(argv):
+        a = argv[i]
+        if not a.startswith("--"):
+            raise SystemExit(f"unexpected positional argument: {a!r}")
+        if "=" in a:
+            k, v = a.split("=", 1)
+            flags[k] = v
+        elif i + 1 < len(argv) and not argv[i + 1].startswith("--"):
+            flags[a] = argv[i + 1]
+            i += 1
+        else:
+            flags[a] = True
+        i += 1
+    return flags
+
+
+def value_of(flags, key):
+    v = flags[key]
+    if v is True:
+        raise SystemExit(f"{key} requires a value: {key}=<value> or {key} <value>")
+    return v
+
+
 def main(argv):
-    flags = {a.split("=")[0]: (a.split("=") + [True])[1] for a in argv}
+    flags = parse_flags(argv)
     use_viewer = "--viewer" in flags
     viewer_dir = flags.get("--viewer-dir")
     if "--sim" in flags:
         from orb_slam2_commit_tpu.utils.config import synthetic_config
 
-        n = int(flags.get("--frames", 30))
+        n = int(value_of(flags, "--frames")) if "--frames" in flags else 30
         config = synthetic_config(width=400, height=300, n_features=1000)
         src = SyntheticSource(config, n_frames=n)
         run_live(src, config, use_viewer=use_viewer, viewer_dir=viewer_dir)
@@ -316,19 +348,22 @@ def main(argv):
         from orb_slam2_commit_tpu.utils import settings
 
         config = settings.config_from_settings(
-            flags["--settings"], sensor=flags.get("--sensor", "monocular")
+            value_of(flags, "--settings"),
+            sensor=flags.get("--sensor", "monocular"),
         )
         if "--watch" in flags:
-            src = DirectoryWatchSource(flags["--watch"])
+            src = DirectoryWatchSource(value_of(flags, "--watch"))
         elif "--listen" in flags:
-            src = SocketSource(port=int(flags["--listen"]), listen=True)
+            src = SocketSource(
+                port=int(value_of(flags, "--listen")), listen=True
+            )
         elif "--connect" in flags:
-            host, port = flags["--connect"].rsplit(":", 1)
+            host, port = value_of(flags, "--connect").rsplit(":", 1)
             src = SocketSource(host=host, port=int(port), listen=False)
         elif "--camera" in flags:
-            src = OpenCVCaptureSource(int(flags["--camera"]))
+            src = OpenCVCaptureSource(int(value_of(flags, "--camera")))
         else:
-            src = OpenCVCaptureSource(flags["--video"])
+            src = OpenCVCaptureSource(value_of(flags, "--video"))
         run_live(src, config, use_viewer=use_viewer, viewer_dir=viewer_dir)
     else:
         print(__doc__)

@@ -276,7 +276,8 @@ def extract_features_packed(
             full_canvas=True,
         )
         hp = hi_c.shape[0]
-        if hp >= pallas_level._CNMS_WIN:
+        if (hp >= pallas_level._CNMS_WIN
+                and hi_c.shape[1] <= 128 * pallas_level.CELL):
             bounds = jnp.asarray(_bounds_np(plan, hp))
             score = pallas_level.combine_nms(hi_c, lo_c, bounds)
         else:   # tiny canvas (unit tests): XLA fallback

@@ -343,6 +343,11 @@ def combine_nms(
     hp, wp = score_hi.shape
     assert hp % STRIPE == 0 and wp % 128 == 0 and hp >= _CNMS_WIN
     assert bounds.shape == (hp, 128)
+    # The column-cell indicator matrices in the kernel are [wp, 128] /
+    # [128, wp]: at most 128 column cells. Wider canvases would silently
+    # zero cell sums past column 128*CELL and fall back to the low
+    # threshold — refuse instead (route such canvases to the XLA path).
+    assert wp <= 128 * CELL, f"canvas width {wp} exceeds {128 * CELL}"
 
     return pl.pallas_call(
         functools.partial(_combine_nms_kernel, hp=hp),

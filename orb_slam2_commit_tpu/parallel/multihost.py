@@ -53,26 +53,36 @@ def initialize(
     """Join the jax.distributed process group (idempotent).
 
     On a real pod each host calls this once before any other jax API,
-    either with explicit arguments or letting jax read the cluster
-    environment (TPU metadata / JAX_COORDINATOR_ADDRESS). With no
-    coordinator and no cluster environment this is a no-op so the same
+    either with explicit arguments or letting jax.distributed's built-in
+    cluster auto-detection read the environment (TPU metadata /
+    JAX_COORDINATOR_ADDRESS). With no coordinator and no detectable
+    cluster environment this degrades to a single-host no-op so the same
     driver script runs unmodified on one host.
-    """
-    if jax.process_count() > 1:
-        return  # already initialized
-    import os
 
-    has_env = any(
-        k in os.environ
-        for k in ("JAX_COORDINATOR_ADDRESS", "COORDINATOR_ADDRESS")
-    )
-    if coordinator_address is None and not has_env:
-        return
-    jax.distributed.initialize(
-        coordinator_address=coordinator_address,
-        num_processes=num_processes,
-        process_id=process_id,
-    )
+    Must not touch any backend-initializing jax API (jax.devices /
+    jax.process_count) before jax.distributed.initialize — doing so
+    initializes the XLA backend, after which initialize() raises.
+    The idempotence guard therefore inspects the distributed client
+    state directly.
+    """
+    from jax._src import distributed as _dist
+
+    if getattr(_dist.global_state, "client", None) is not None:
+        return  # already joined a process group
+    try:
+        jax.distributed.initialize(
+            coordinator_address=coordinator_address,
+            num_processes=num_processes,
+            process_id=process_id,
+        )
+    except (RuntimeError, ValueError) as e:
+        # Single host, no cluster environment: auto-detection finds
+        # nothing (or the backend is already up from a single-host
+        # driver). Only swallow when the caller did not demand a
+        # specific coordinator.
+        if coordinator_address is not None or num_processes is not None:
+            raise
+        del e
 
 
 def global_mesh(n_devices: Optional[int] = None) -> Mesh:
