@@ -294,3 +294,37 @@ epnp_ransac_jit = jax.jit(
         "chi2_th",
     ),
 )
+
+
+def epnp_ransac_many(
+    keys: jnp.ndarray,         # [C] one RNG key per candidate
+    X: jnp.ndarray,            # [C, n, 3] per-candidate world points
+    uv: jnp.ndarray,           # [n, 2] shared frame pixels
+    valid: jnp.ndarray,        # [C, n] per-candidate 2D-3D match mask
+    sigma2: jnp.ndarray,       # [n]
+    fx: float, fy: float, cx: float, cy: float,
+    n_iters: int = 128,
+    sample_size: int = 4,
+    min_inliers: int = 10,
+    chi2_th: float = 5.991,
+) -> PnPResult:
+    """epnp_ransac vmapped over relocalization candidates: ONE solver
+    dispatch for the whole candidate set (the reference iterates
+    per-candidate PnPsolver RANSAC on the host,
+    src/Tracking.cc:1729-1762). Leaves of the result carry a leading
+    [C] axis."""
+    return jax.vmap(
+        lambda k, Xc, vc: epnp_ransac(
+            k, Xc, uv, vc, sigma2, fx, fy, cx, cy,
+            n_iters, sample_size, min_inliers, chi2_th,
+        )
+    )(keys, X, valid)
+
+
+epnp_ransac_many_jit = jax.jit(
+    epnp_ransac_many,
+    static_argnames=(
+        "fx", "fy", "cx", "cy", "n_iters", "sample_size", "min_inliers",
+        "chi2_th",
+    ),
+)

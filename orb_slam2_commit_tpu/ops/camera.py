@@ -44,10 +44,15 @@ def distort_normalized(xn: jnp.ndarray, cam: CameraConfig) -> jnp.ndarray:
 
 
 def undistort_normalized(
-    xd: jnp.ndarray, cam: CameraConfig, iters: int = 8
+    xd: jnp.ndarray, cam: CameraConfig, iters: int = 20
 ) -> jnp.ndarray:
     """Invert the distortion model by fixed-point iteration (the same
-    scheme cv::undistortPoints uses)."""
+    scheme cv::undistortPoints uses).
+
+    20 iterations reach <2e-4 px worst-case roundtrip error at the image
+    corners for TUM1-magnitude coefficients (k1=0.26, k3=1.16); 8 leave
+    ~0.2 px there (measured, see tests/test_distortion.py). The loop is
+    elementwise over ~1k keypoints — iteration count is free."""
     x = xd
     for _ in range(iters):
         xx, yy = x[..., 0], x[..., 1]

@@ -50,20 +50,41 @@ class MappingWorker:
         self._idle = threading.Event()
         self._idle.set()
         self.processed = 0
+        self.dropped = 0
         self.thread = threading.Thread(target=self._run, daemon=True)
         self.thread.start()
 
     # -- queue side (tracker thread) -----------------------------------
 
     def insert_keyframe(self, kf: int) -> None:
-        """Enqueue; signals BA abort via queue depth (reference:
-        InsertKeyFrame sets mbAbortBA, src/LocalMapping.cc:149-154)."""
+        """Enqueue without blocking; signals BA abort (reference:
+        InsertKeyFrame sets mbAbortBA, src/LocalMapping.cc:149-154).
+
+        The tracker must never stall on a mapping backlog — the
+        reference's NeedNewKeyFrame refuses insertion when the queue is
+        deep (src/Tracking.cc:1272-1293), and need_new_keyframe mirrors
+        that, so a full queue here means the gate was bypassed; the
+        keyframe is dropped (counted) rather than blocking tracking."""
         self.mapper.abort_ba = True
-        self.queue.put(kf)
+        try:
+            self.queue.put_nowait(kf)
+        except queue.Full:
+            self.dropped += 1
 
     def accept_keyframes(self) -> bool:
         """Mapper idle? (reference: AcceptKeyFrames, :778-790)."""
         return self._idle.is_set() and self.queue.empty()
+
+    def interrupt_ba(self) -> None:
+        """Abort the running local BA so the mapper frees up sooner
+        (reference: InterruptBA, src/Tracking.cc:1283 + mbAbortBA
+        src/Optimizer.cc:749-762)."""
+        self.mapper.abort_ba = True
+
+    def queued(self) -> int:
+        """Keyframes waiting in the queue (reference:
+        KeyframesInQueue, src/LocalMapping.cc:792-796)."""
+        return self.queue.qsize()
 
     def request_stop(self) -> None:
         """Pause processing (loop correction uses this,

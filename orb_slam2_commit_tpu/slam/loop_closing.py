@@ -178,18 +178,10 @@ class LoopCloser:
                 continue
 
             # Camera-frame 3D points of each side.
-            pid1 = self.map.kf_point_idx[kf][rows]
-            pid2 = self.map.kf_point_idx[cand][idx[rows]]
-            R1, t1 = self.map.kf_pose_R[kf], self.map.kf_pose_t[kf]
-            R2, t2 = self.map.kf_pose_R[cand], self.map.kf_pose_t[cand]
-            x1 = self.map.pt_pos[pid1] @ R1.T + t1
-            x2 = self.map.pt_pos[pid2] @ R2.T + t2
-            uv1 = self.map.kf_xy[kf][rows]
-            uv2 = self.map.kf_xy[cand][idx[rows]]
-            sig = np.asarray(cfg.orb.level_sigma2())
-            n_lv = cfg.orb.n_levels
-            s2_1 = sig[np.clip(self.map.kf_octave[kf][rows], 0, n_lv - 1)]
-            s2_2 = sig[np.clip(self.map.kf_octave[cand][idx[rows]], 0, n_lv - 1)]
+            feat1, feat2 = rows, idx[rows]
+            x1, x2, uv1, uv2, s2_1, s2_2 = self._pair_arrays(
+                kf, cand, feat1, feat2
+            )
 
             self._rng_key, sub = jax.random.split(self._rng_key)
             res = sim3_solver.sim3_ransac_jit(
@@ -203,12 +195,33 @@ class LoopCloser:
             if not bool(res.ok):
                 continue
 
+            # SearchBySim3 augmentation (reference src/ORBmatcher.cc:
+            # 1238-1487, called at src/LoopClosing.cc:393): project each
+            # side's bound points through the RANSAC Sim3 into the other
+            # keyframe, keep mutually consistent new pairs, and feed the
+            # widened set to OptimizeSim3 — marginal loops near the
+            # 20-inlier boundary survive only with these extra matches.
+            new1, new2 = self._search_by_sim3(
+                kf, cand, float(res.s12), np.asarray(res.R12),
+                np.asarray(res.t12), feat1, feat2,
+            )
+            valid0 = np.asarray(res.inliers)
+            if new1.size:
+                feat1 = np.concatenate([feat1, new1])
+                feat2 = np.concatenate([feat2, new2])
+                x1, x2, uv1, uv2, s2_1, s2_2 = self._pair_arrays(
+                    kf, cand, feat1, feat2
+                )
+                valid0 = np.concatenate(
+                    [valid0, np.ones(new1.size, bool)]
+                )
+
             opt = sim3_opt.optimize_sim3_jit(
                 res.s12, res.R12, res.t12,
                 jnp.asarray(x1), jnp.asarray(x2),
                 jnp.asarray(uv1), jnp.asarray(uv2),
                 jnp.asarray(1.0 / s2_1), jnp.asarray(1.0 / s2_2),
-                res.inliers,
+                jnp.asarray(valid0),
                 cam.fx, cam.fy, cam.cx, cam.cy, fix_scale=fix_scale,
             )
             if int(opt.n_inliers) < MIN_SIM3_MATCHES:
@@ -219,9 +232,23 @@ class LoopCloser:
             s12 = float(opt.s12)
             R12 = np.asarray(opt.R12)
             t12 = np.asarray(opt.t12)
+            R2 = self.map.kf_pose_R[cand]
+            t2 = self.map.kf_pose_t[cand]
             s_cw = s12
             R_cw = R12 @ R2
             t_cw = s12 * R12 @ t2 + t12
+
+            # Sim3-optimizer inliers seed the match set (reference:
+            # mvpCurrentMatchedPoints starts from vpLoopMatchedPoints,
+            # src/LoopClosing.cc:468-476, and SearchByProjection keeps
+            # existing entries :497-517).
+            inl = np.asarray(opt.inliers) & (
+                self.map.kf_point_idx[cand][feat2] >= 0
+            )
+            matches = {
+                int(f): int(self.map.kf_point_idx[cand][g])
+                for f, g in zip(feat1[inl], feat2[inl])
+            }
 
             # Widen: project all loop-neighborhood points through S_cw into
             # the current KF (reference :497-517 + SearchByProjection).
@@ -245,7 +272,6 @@ class LoopCloser:
             )
             proj = np.stack([u, vv], -1)
             # Match by window + descriptor against current KF features.
-            dists = None
             total_feat, total_pid = [], []
             if in_img.sum() >= 1:
                 m2 = matchers.match_fuse(
@@ -268,12 +294,100 @@ class LoopCloser:
                 r2 = np.where(i2 >= 0)[0]
                 total_feat = i2[r2].tolist()
                 total_pid = loop_pts[r2].tolist()
-            if len(total_pid) < MIN_TOTAL_MATCHES:
+            for f, p in zip(total_feat, total_pid):
+                matches.setdefault(int(f), int(p))
+            if len(matches) < MIN_TOTAL_MATCHES:
                 continue
-
-            matches = dict(zip(total_feat, total_pid))
             return True, cand, s_cw, R_cw, t_cw, matches
         return False, -1, 1.0, np.eye(3), np.zeros(3), {}
+
+    # ------------------------------------------------------------------
+
+    def _pair_arrays(
+        self, kf: int, cand: int, feat1: np.ndarray, feat2: np.ndarray
+    ):
+        """Camera-frame points + pixel/variance arrays for matched feature
+        pairs (feat1 in `kf`, feat2 in `cand`) — the Sim3Solver's input
+        layout (reference src/Sim3Solver.cc:37-125)."""
+        m, cfg = self.map, self.config
+        pid1 = m.kf_point_idx[kf][feat1]
+        pid2 = m.kf_point_idx[cand][feat2]
+        R1, t1 = m.kf_pose_R[kf], m.kf_pose_t[kf]
+        R2, t2 = m.kf_pose_R[cand], m.kf_pose_t[cand]
+        x1 = m.pt_pos[pid1] @ R1.T + t1
+        x2 = m.pt_pos[pid2] @ R2.T + t2
+        uv1 = m.kf_xy[kf][feat1]
+        uv2 = m.kf_xy[cand][feat2]
+        sig = np.asarray(cfg.orb.level_sigma2())
+        n_lv = cfg.orb.n_levels
+        s2_1 = sig[np.clip(m.kf_octave[kf][feat1], 0, n_lv - 1)]
+        s2_2 = sig[np.clip(m.kf_octave[cand][feat2], 0, n_lv - 1)]
+        return x1, x2, uv1, uv2, s2_1, s2_2
+
+    def _search_by_sim3(
+        self, kf: int, cand: int,
+        s12: float, R12: np.ndarray, t12: np.ndarray,
+        feat1: np.ndarray, feat2: np.ndarray,
+    ):
+        """Bidirectional Sim3-projected match augmentation with mutual
+        consistency (oracle: ORBmatcher::SearchBySim3,
+        src/ORBmatcher.cc:1238-1487). S12 maps candidate-camera points
+        into the current keyframe's camera: p1 = s12 R12 p2 + t12.
+        Returns (new_feat1, new_feat2) — pairs not already matched."""
+        m, cam, cfg = self.map, self.config.camera, self.config
+        n_feat = m.kf_xy.shape[1]
+        matched1 = np.zeros(n_feat, bool)
+        matched1[feat1] = True
+        matched2 = np.zeros(n_feat, bool)
+        matched2[feat2] = True
+        b1 = (m.kf_point_idx[kf] >= 0) & m.kf_feat_valid[kf] & ~matched1
+        b2 = (m.kf_point_idx[cand] >= 0) & m.kf_feat_valid[cand] & ~matched2
+        if not b1.any() or not b2.any():
+            return np.zeros(0, np.int64), np.zeros(0, np.int64)
+        # Full-table layout (fixed shapes -> one compilation): invalid
+        # rows gather point 0 and are masked out inside the matcher.
+        pid1 = np.where(b1, m.kf_point_idx[kf], 0)
+        pid2 = np.where(b2, m.kf_point_idx[cand], 0)
+        R1, t1 = m.kf_pose_R[kf], m.kf_pose_t[kf]
+        R2, t2 = m.kf_pose_R[cand], m.kf_pose_t[cand]
+        common = dict(
+            fx=cam.fx, fy=cam.fy, cx=cam.cx, cy=cam.cy,
+            width=float(cam.width), height=float(cam.height),
+            n_levels=cfg.orb.n_levels, scale=cfg.orb.scale_factor,
+        )
+        # Direction 2 -> 1: candidate's points into the current KF.
+        pc2 = m.pt_pos[pid2] @ R2.T + t2
+        pc2_in1 = s12 * (pc2 @ R12.T) + t12
+        r21 = matchers.match_by_sim3(
+            jnp.asarray(pc2_in1), jnp.asarray(m.pt_desc[pid2]),
+            jnp.asarray(m.pt_min_dist[pid2]),
+            jnp.asarray(m.pt_max_dist[pid2]),
+            jnp.asarray(b2 & m.pt_valid[pid2]),
+            jnp.asarray(m.kf_xy[kf]), jnp.asarray(m.kf_desc[kf]),
+            jnp.asarray(m.kf_octave[kf]), jnp.asarray(m.kf_feat_valid[kf]),
+            **common,
+        )
+        # Direction 1 -> 2 through S21 = S12^-1.
+        pc1 = m.pt_pos[pid1] @ R1.T + t1
+        pc1_in2 = ((pc1 - t12) @ R12) / s12
+        r12 = matchers.match_by_sim3(
+            jnp.asarray(pc1_in2), jnp.asarray(m.pt_desc[pid1]),
+            jnp.asarray(m.pt_min_dist[pid1]),
+            jnp.asarray(m.pt_max_dist[pid1]),
+            jnp.asarray(b1 & m.pt_valid[pid1]),
+            jnp.asarray(m.kf_xy[cand]), jnp.asarray(m.kf_desc[cand]),
+            jnp.asarray(m.kf_octave[cand]),
+            jnp.asarray(m.kf_feat_valid[cand]),
+            **common,
+        )
+        # Mutual agreement (reference :1442-1455): feature i1 of the
+        # current KF maps forward to i2, and i2 maps back to i1.
+        best_in_cd = np.asarray(r12.idx)   # per current-KF feature
+        best_in_kf = np.asarray(r21.idx)   # per candidate feature
+        a = np.where(best_in_cd >= 0)[0]
+        b = best_in_cd[a]
+        mutual = best_in_kf[b] == a
+        return a[mutual].astype(np.int64), b[mutual].astype(np.int64)
 
     # ------------------------------------------------------------------
 

@@ -232,6 +232,56 @@ def match_local_map(
     return matching.resolve_duplicate_targets(m, desc.shape[0])
 
 
+@functools.partial(
+    jax.jit, static_argnames=("th", "n_levels", "scale")
+)
+def match_by_sim3(
+    pt_cam: jnp.ndarray,       # [M, 3] points already in the TARGET camera frame
+    pt_desc: jnp.ndarray,      # [M, 8]
+    pt_min_dist: jnp.ndarray,  # [M]
+    pt_max_dist: jnp.ndarray,  # [M]
+    pt_valid: jnp.ndarray,     # [M]
+    xy: jnp.ndarray, desc: jnp.ndarray,
+    octave: jnp.ndarray, valid: jnp.ndarray,
+    fx: float, fy: float, cx: float, cy: float,
+    width: float, height: float,
+    th: float = 7.5, n_levels: int = 8, scale: float = 1.2,
+) -> MatchResult:
+    """One direction of SearchBySim3 (src/ORBmatcher.cc:1238-1487).
+
+    Points are pre-transformed through the candidate Sim3 into the target
+    camera frame; gates are depth > 0, image bounds, scale-invariance
+    distance band [0.8 min, 1.2 max] (:1311-1330), window radius
+    th * sigma(predicted level) over octaves [pred-1, pred+1] at TH_HIGH
+    with no ratio test (:1342-1365). The caller runs both directions and
+    keeps mutually consistent pairs (:1442-1455)."""
+    z = pt_cam[:, 2]
+    inv_z = 1.0 / jnp.where(jnp.abs(z) > 1e-9, z, 1e-9)
+    u = fx * pt_cam[:, 0] * inv_z + cx
+    v = fy * pt_cam[:, 1] * inv_z + cy
+    proj = jnp.stack([u, v], axis=-1)
+    dist = jnp.linalg.norm(pt_cam, axis=1)
+    log_scale = jnp.log(scale)
+    ratio_d = pt_max_dist / jnp.maximum(dist, 1e-9)
+    pred = jnp.ceil(
+        jnp.log(jnp.maximum(ratio_d, 1e-9)) / log_scale
+    ).astype(jnp.int32)
+    pred = jnp.clip(pred, 0, n_levels - 1)
+    ok = (
+        pt_valid
+        & (z > 0.0)
+        & (u >= 0) & (u < width) & (v >= 0) & (v < height)
+        & (dist >= 0.8 * pt_min_dist)
+        & (dist <= 1.2 * pt_max_dist)
+    )
+    sigmas = _scale_sigmas(n_levels, scale)
+    radius = th * sigmas[pred]
+    return _projection_match(
+        pt_desc, proj, radius, pred - 1, pred + 1,
+        ok, xy, desc, octave, valid, TH_HIGH,
+    )
+
+
 @functools.partial(jax.jit, static_argnames=("max_dist", "ratio"))
 def match_brute_force(
     desc_a: jnp.ndarray, angle_a: jnp.ndarray, valid_a: jnp.ndarray,
@@ -255,6 +305,25 @@ def match_brute_force(
     m = matching.best_match_with_ratio(dist, mask, max_dist, ratio)
     m = matching.rotation_consistency_filter(m, angle_a, angle_b)
     return matching.resolve_duplicate_targets(m, desc_b.shape[0])
+
+
+@functools.partial(jax.jit, static_argnames=("max_dist", "ratio"))
+def match_brute_force_many(
+    desc_a: jnp.ndarray,       # [C, N, 8] candidate keyframes
+    angle_a: jnp.ndarray,      # [C, N]
+    valid_a: jnp.ndarray,      # [C, N]
+    desc_b: jnp.ndarray, angle_b: jnp.ndarray, valid_b: jnp.ndarray,
+    max_dist: int = TH_LOW, ratio: float = 0.7,
+) -> MatchResult:
+    """match_brute_force vmapped over a leading candidate axis of side A:
+    ONE dispatch matches every relocalization candidate against the frame
+    (the reference round-robins SearchByBoW per candidate on the host,
+    src/Tracking.cc:1713-1762)."""
+    return jax.vmap(
+        lambda d, a, v: match_brute_force(
+            d, a, v, desc_b, angle_b, valid_b, max_dist, ratio
+        )
+    )(desc_a, angle_a, valid_a)
 
 
 @functools.partial(jax.jit, static_argnames=("n_levels", "scale"))

@@ -103,6 +103,7 @@ class System:
             self.mapping_worker = MappingWorker(
                 self.mapper, self.loop_closer, self.map_lock
             )
+            self.tracker.mapping_worker = self.mapping_worker
             if self.loop_closer is not None:
                 # Global BA after loop corrections runs on its own
                 # abortable thread, concurrent with tracking+mapping
@@ -350,6 +351,7 @@ class System:
             if self.mapping_worker is not None:
                 self.mapping_worker.mapper = self.mapper
                 self.mapping_worker.loop_closer = self.loop_closer
+                self.tracker.mapping_worker = self.mapping_worker
         finally:
             if lock is not None:
                 lock.release()

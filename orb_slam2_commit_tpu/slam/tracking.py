@@ -32,6 +32,11 @@ from orb_slam2_commit_tpu.slam import matchers
 from orb_slam2_commit_tpu.slam.frame import Frame, orthonormalize_rotation
 from orb_slam2_commit_tpu.utils.config import SLAMConfig
 
+# Relocalization batches the per-candidate matching + EPnP RANSAC into
+# single device dispatches; the batch is capped (best-scored first) and
+# padded to a power of two so lost frames reuse compilations.
+MAX_RELOC_CANDIDATES = 16
+
 
 class TrackingState(enum.Enum):
     NO_IMAGES_YET = 0
@@ -80,6 +85,12 @@ class Tracker:
         # Optional place-recognition database (set by the System when the
         # vocabulary stack is enabled).
         self.kf_database = None
+        # Optional async mapping worker (set by the System when mapping
+        # runs on a background thread); need_new_keyframe consults its
+        # idle/queue state like the reference's AcceptKeyFrames gate
+        # (src/Tracking.cc:1240-1295). None = synchronous mapper, which
+        # is always idle.
+        self.mapping_worker = None
 
     # ------------------------------------------------------------------
     # Pose optimization wrapper
@@ -572,40 +583,73 @@ class Tracker:
             cand = self.kf_database.detect_relocalization_candidates(frame)
         else:
             cand = [k for k in range(self.map.next_kf) if self.map.kf_valid[k]][-10:]
-        for k in reversed(list(cand)):
-            kf_bound = self.map.kf_point_idx[k] >= 0
-            pt_ids = np.maximum(self.map.kf_point_idx[k], 0)
-            kf_ok = kf_bound & self.map.pt_valid[pt_ids]
-            m = matchers.match_brute_force(
-                jnp.asarray(self.map.kf_desc[k]), jnp.asarray(self.map.kf_angle[k]),
-                jnp.asarray(kf_ok),
-                jnp.asarray(frame.desc), jnp.asarray(frame.angle),
-                jnp.asarray(frame.valid),
-            )
-            idx = np.asarray(m.idx)
-            if (idx >= 0).sum() < 15:
-                continue
-            binding = np.full(frame.n, INVALID, np.int32)
-            rows = np.where(idx >= 0)[0]
-            binding[idx[rows]] = self.map.kf_point_idx[k][rows]
-            frame.point_ids = binding
+        # Best candidates first (the DB returns ascending accumulated
+        # score); cap the batch, padding to a power of two so repeated
+        # lost frames reuse one compilation.
+        cand = [int(k) for k in reversed(list(cand)) if self.map.kf_valid[k]]
+        cand = cand[:MAX_RELOC_CANDIDATES]
+        if not cand:
+            return False
+        C = len(cand)
+        Cp = max(4, 1 << (C - 1).bit_length())
 
-            # EPnP RANSAC on the 2D-3D matches (src/Tracking.cc:1713-1754).
-            bound = binding >= 0
-            X = self.map.pt_pos[np.maximum(binding, 0)]
-            sigma2 = np.asarray(cfg.orb.level_sigma2())[
-                np.clip(frame.octave, 0, cfg.orb.n_levels - 1)
-            ]
-            self._rng_key, sub = jax.random.split(self._rng_key)
-            res = pnp.epnp_ransac_jit(
-                sub, jnp.asarray(X), jnp.asarray(frame.xy),
-                jnp.asarray(bound & frame.valid), jnp.asarray(sigma2),
-                cam.fx, cam.fy, cam.cx, cam.cy,
-            )
-            if not bool(res.ok):
+        # Phase A — ONE batched brute-force match dispatch over all
+        # candidates (reference: per-candidate SearchByBoW host loop,
+        # src/Tracking.cc:1713-1727).
+        ck = np.asarray(cand)
+        kf_bound = self.map.kf_point_idx[ck] >= 0                 # [C, N]
+        pt_ids = np.maximum(self.map.kf_point_idx[ck], 0)
+        kf_ok = kf_bound & self.map.pt_valid[pt_ids]
+        n_kf = self.map.kf_desc.shape[1]       # map feature capacity
+        desc_a = np.zeros((Cp, n_kf, 8), np.uint32)
+        angle_a = np.zeros((Cp, n_kf), np.float32)
+        valid_a = np.zeros((Cp, n_kf), bool)
+        desc_a[:C] = self.map.kf_desc[ck]
+        angle_a[:C] = self.map.kf_angle[ck]
+        valid_a[:C] = kf_ok
+        m = matchers.match_brute_force_many(
+            jnp.asarray(desc_a), jnp.asarray(angle_a), jnp.asarray(valid_a),
+            jnp.asarray(frame.desc), jnp.asarray(frame.angle),
+            jnp.asarray(frame.valid),
+        )
+        idx_all = np.asarray(m.idx)                               # [Cp, N]
+
+        # Phase B — per-candidate 2D-3D bindings (host, cheap) and ONE
+        # batched EPnP RANSAC dispatch (src/Tracking.cc:1729-1762).
+        bindings = np.full((Cp, frame.n), INVALID, np.int32)
+        for c in range(C):
+            rows = np.where(idx_all[c] >= 0)[0]
+            bindings[c, idx_all[c][rows]] = self.map.kf_point_idx[ck[c]][rows]
+        n_matches = (bindings >= 0).sum(axis=1)
+        attempt = n_matches >= 15
+        if not attempt.any():
+            return False
+        X = self.map.pt_pos[np.maximum(bindings, 0)]              # [Cp, N, 3]
+        bound_masks = (bindings >= 0) & frame.valid[None, :] & attempt[:, None]
+        sigma2 = np.asarray(cfg.orb.level_sigma2())[
+            np.clip(frame.octave, 0, cfg.orb.n_levels - 1)
+        ]
+        self._rng_key, sub = jax.random.split(self._rng_key)
+        keys = jax.random.split(sub, Cp)
+        res = pnp.epnp_ransac_many_jit(
+            keys, jnp.asarray(X), jnp.asarray(frame.xy),
+            jnp.asarray(bound_masks), jnp.asarray(sigma2),
+            cam.fx, cam.fy, cam.cx, cam.cy,
+        )
+        res_ok = np.asarray(res.ok)
+        res_R = np.asarray(res.R)
+        res_t = np.asarray(res.t)
+
+        # Phase C — per-candidate refinement ladder, best-first; only
+        # candidates whose RANSAC succeeded reach the (expensive) pose
+        # optimizer (src/Tracking.cc:1764-1884).
+        for c in range(C):
+            k = cand[c]
+            if not attempt[c] or not res_ok[c]:
                 continue
+            frame.point_ids = bindings[c].copy()
             R, t, inl, n_in = self._optimize_pose(
-                frame, np.asarray(res.R), np.asarray(res.t)
+                frame, res_R[c], res_t[c]
             )
             if n_in < 10:
                 continue
@@ -665,17 +709,32 @@ class Tracker:
         counts = hit.sum(axis=1) * self.map.kf_valid
         k1 = np.where(counts > 0)[0]
         k1 = k1[np.argsort(-counts[k1], kind="stable")]
-        local = list(k1[: self.config.tracker.max_local_keyframes])
+        cap = self.config.tracker.max_local_keyframes
+        local = list(k1[:cap])
         seen = set(local)
         for k in list(local)[:10]:
-            for n in self.map.covisible_keyframes(k, 10):
-                if n not in seen:
-                    local.append(int(n))
-                    seen.add(int(n))
-                if len(local) >= self.config.tracker.max_local_keyframes:
-                    break
-            if len(local) >= self.config.tracker.max_local_keyframes:
+            if len(local) >= cap:
                 break
+            k = int(k)
+            # Top covisible neighbors, then spanning-tree children and
+            # parent (reference :1584-1621) — the tree links are the
+            # low-covisibility escape hatch: right after relocalization
+            # or under fast rotation the covisible set alone starves.
+            extras = [int(n) for n in self.map.covisible_keyframes(k, 10)]
+            parent_col = self.map.kf_parent[: self.map.next_kf]
+            children = np.where(
+                (parent_col == k) & self.map.kf_valid[: self.map.next_kf]
+            )[0]
+            extras.extend(int(c) for c in children)
+            parent = int(self.map.kf_parent[k])
+            if parent >= 0 and self.map.kf_valid[parent]:
+                extras.append(parent)
+            for n in extras:
+                if n not in seen:
+                    local.append(n)
+                    seen.add(n)
+                if len(local) >= cap:
+                    break
         if k1.size > 0:
             self.ref_kf = int(k1[0])
         return np.asarray(local, int)
@@ -837,7 +896,9 @@ class Tracker:
 
     def need_new_keyframe(self, frame: Frame) -> bool:
         """Oracle: Tracking::NeedNewKeyFrame (src/Tracking.cc:1205-1309),
-        synchronous-mapper simplification: the mapper is always idle."""
+        including the mapper-idle gate (:1240-1295): when the mapping
+        worker is busy, interrupt its BA and only insert if the backlog
+        is small (stereo/RGB-D, queue<3) — monocular refuses outright."""
         if self.localization_only:
             return False
         # Min observations for a "tracked" reference point. The reference
@@ -908,7 +969,19 @@ class Tracker:
                 )
                 c_geom = ang > tcfg.kf_view_angle_deg
 
-        return bool(((c1a or c1b or c1c) and c2) or c_geom)
+        want = bool(((c1a or c1b or c1c) and c2) or c_geom)
+        if not want:
+            return False
+        worker = self.mapping_worker
+        if worker is None or worker.accept_keyframes():
+            return True
+        # Mapper busy: abort its local BA so it frees up sooner, and only
+        # queue when the backlog is shallow (reference src/Tracking.cc:
+        # 1281-1293 — stereo/RGB-D insert if <3 queued, mono never).
+        worker.interrupt_ba()
+        if self.config.sensor != "monocular" and worker.queued() < 3:
+            return True
+        return False
 
     # ------------------------------------------------------------------
     # Main entry

@@ -83,6 +83,17 @@ def make_scene(
                  patch_half=half)
 
 
+def _distort_np(xn: float, yn: float, cam: CameraConfig):
+    """Radial-tangential distortion on one normalized coordinate (NumPy
+    mirror of ops/camera.distort_normalized; oracle: the OpenCV model the
+    reference's settings assume, src/Tracking.cc:53-117)."""
+    r2 = xn * xn + yn * yn
+    radial = 1.0 + r2 * (cam.k1 + r2 * (cam.k2 + r2 * cam.k3))
+    xd = xn * radial + 2.0 * cam.p1 * xn * yn + cam.p2 * (r2 + 2.0 * xn * xn)
+    yd = yn * radial + cam.p1 * (r2 + 2.0 * yn * yn) + 2.0 * cam.p2 * xn * yn
+    return xd, yd
+
+
 def _aa_blur(img: np.ndarray, sigma: float = 0.7) -> np.ndarray:
     """Separable 5-tap Gaussian anti-aliasing (stabilizes BRIEF bits under
     subpixel motion, like real camera optics/PSF do)."""
@@ -123,8 +134,16 @@ def render(
     for i in order:
         if z[i] < 0.5 or z[i] > max_depth:
             continue
-        u = cam.fx * pc[i, 0] / z[i] + cam.cx
-        v = cam.fy * pc[i, 1] / z[i] + cam.cy
+        xn, yn = pc[i, 0] / z[i], pc[i, 1] / z[i]
+        if cam.has_distortion:
+            # Lens model: the raw image is DISTORTED (the pipeline
+            # undistorts keypoints after extraction, reference
+            # src/Frame.cc:471-506) — splat landmarks at their distorted
+            # pixel position. Patch-local warp is negligible at patch
+            # scale.
+            xn, yn = _distort_np(xn, yn, cam)
+        u = cam.fx * xn + cam.cx
+        v = cam.fy * yn + cam.cy
         if not (half + 2 <= u < w - half - 2 and half + 2 <= v < h - half - 2):
             continue
         u0, v0 = int(np.floor(u)), int(np.floor(v))

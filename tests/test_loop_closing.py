@@ -189,3 +189,133 @@ class TestLoopClosing:
             )
         # Worst pre-closure rotation drift is ~5.3 deg.
         assert max_rot_err < 2.0, max_rot_err
+
+
+class TestSearchBySim3Augmentation:
+    """SearchBySim3 mutual-consistency augmentation (reference
+    src/ORBmatcher.cc:1238-1487, called from ComputeSim3 at
+    src/LoopClosing.cc:393): the initial brute-force match count sits just
+    above the 20-inlier Sim3 gate, and the 40-total-match acceptance gate
+    is reachable only with the Sim3-projected augmentation."""
+
+    N = 64
+    N_CLEAN = 22     # matched by brute force (identical descriptors)
+    N_NOISY = 38     # Hamming ~60: fails TH_LOW=50, passes TH_HIGH=100
+
+    def _build_two_kf_map(self):
+        import dataclasses as _dc
+
+        rng = np.random.default_rng(11)
+        cfg = synthetic_config(width=640, height=480, n_features=self.N)
+        cam = cfg.camera
+        n = self.N_CLEAN + self.N_NOISY
+
+        pts = np.stack([
+            rng.uniform(-1.8, 1.8, n),
+            rng.uniform(-1.3, 1.3, n),
+            rng.uniform(4.0, 8.0, n),
+        ], -1)
+        desc_a = rng.integers(0, 2**32, size=(n, 8), dtype=np.uint32)
+        desc_b = desc_a.copy()
+        # Corrupt the noisy block: flip exactly 60 of 256 bits.
+        for i in range(self.N_CLEAN, n):
+            bits = rng.choice(256, size=60, replace=False)
+            mask = np.zeros(8, np.uint32)
+            for b in bits:
+                mask[b // 32] |= np.uint32(1) << np.uint32(b % 32)
+            desc_b[i] ^= mask
+
+        R_a, t_a = np.eye(3), np.zeros(3)
+        R_b = np.asarray(lie.so3_exp(jnp.asarray([0.0, 0.06, 0.0])))
+        t_b = np.array([0.25, 0.0, 0.05])
+
+        map_cfg = MapConfig(max_keyframes=8, max_points=256)
+        m = MapState.create(map_cfg, self.N)
+
+        def add_kf(R, t, desc, first_kf):
+            pc = pts @ R.T + t
+            uv = np.stack([
+                cam.fx * pc[:, 0] / pc[:, 2] + cam.cx,
+                cam.fy * pc[:, 1] / pc[:, 2] + cam.cy,
+            ], -1)
+            pid = m.add_points(pts, first_kf=first_kf)
+            xy = np.zeros((self.N, 2))
+            xy[:n] = uv
+            octv = np.zeros(self.N, np.int32)
+            angle = np.zeros(self.N, np.float32)
+            d = np.zeros((self.N, 8), np.uint32)
+            d[:n] = desc
+            fvalid = np.zeros(self.N, bool)
+            fvalid[:n] = True
+            binding = np.full(self.N, INVALID, np.int32)
+            binding[:n] = pid
+            return m.add_keyframe(
+                R, t, xy, octv, angle, d, fvalid, binding,
+                frame_id=first_kf, timestamp=float(first_kf),
+            )
+
+        kf_a = add_kf(R_a, t_a, desc_a, 0)   # current keyframe
+        kf_b = add_kf(R_b, t_b, desc_b, 1)   # loop candidate (duplicate pts)
+        m.refresh_point_stats()
+        return cfg, m, kf_a, kf_b
+
+    def test_loop_accepted_only_with_augmentation(self):
+        from orb_slam2_commit_tpu.models.vocabulary import BinaryVocabulary
+
+        cfg, m, kf_a, kf_b = self._build_two_kf_map()
+        rng = np.random.default_rng(5)
+        voc = BinaryVocabulary.train(
+            rng.integers(0, 2**32, size=(500, 8), dtype=np.uint32),
+            k=4, levels=2, seed=2,
+        )
+        db = KeyFrameDatabase(voc, m.cfg.max_keyframes)
+        closer = LoopCloser(cfg, m, db)
+
+        # Without augmentation: 22 brute-force matches pass the Sim3
+        # RANSAC but the 40-total gate fails (widening is TH_LOW too).
+        empty = (np.zeros(0, np.int64), np.zeros(0, np.int64))
+        orig = closer._search_by_sim3
+        closer._search_by_sim3 = lambda *a, **k: empty
+        ok, *_ = closer.compute_sim3(kf_a, [kf_b])
+        assert not ok, "loop must be rejected without augmentation"
+
+        # With augmentation: the 38 TH_HIGH-only pairs are recovered by
+        # mutual Sim3 projection and the loop is accepted.
+        closer._search_by_sim3 = orig
+        ok, loop_kf, s_cw, R_cw, t_cw, matches = closer.compute_sim3(
+            kf_a, [kf_b]
+        )
+        assert ok, "loop must be accepted with augmentation"
+        assert loop_kf == kf_b
+        assert len(matches) >= 40
+        # The recovered matches include noisy-block features.
+        noisy_feats = set(range(self.N_CLEAN, self.N_CLEAN + self.N_NOISY))
+        assert len(noisy_feats & set(matches.keys())) >= 20
+
+    def test_mutual_consistency_no_false_pairs(self):
+        """Augmented pairs must bind each current-KF feature to the
+        candidate feature observing the SAME landmark (ground truth known
+        by construction)."""
+        cfg, m, kf_a, kf_b = self._build_two_kf_map()
+        from orb_slam2_commit_tpu.models.vocabulary import BinaryVocabulary
+
+        rng = np.random.default_rng(5)
+        voc = BinaryVocabulary.train(
+            rng.integers(0, 2**32, size=(500, 8), dtype=np.uint32),
+            k=4, levels=2, seed=2,
+        )
+        db = KeyFrameDatabase(voc, m.cfg.max_keyframes)
+        closer = LoopCloser(cfg, m, db)
+        # True relative Sim3: p_a = R_ab p_b + t_ab with s = 1.
+        R_a, t_a = m.kf_pose_R[kf_a], m.kf_pose_t[kf_a]
+        R_b, t_b = m.kf_pose_R[kf_b], m.kf_pose_t[kf_b]
+        R_ab = R_a @ R_b.T
+        t_ab = t_a - R_ab @ t_b
+        seed1 = np.arange(5)           # pretend only 5 pairs matched so far
+        new1, new2 = closer._search_by_sim3(
+            kf_a, kf_b, 1.0, R_ab, t_ab, seed1, seed1
+        )
+        assert new1.size >= 40
+        # Feature slots are aligned by construction: slot i in both KFs
+        # observes landmark i.
+        np.testing.assert_array_equal(new1, new2)

@@ -117,3 +117,61 @@ class TestRotationDominant:
         )
         span = np.abs(gt).max() * 2
         assert rmse < 0.03 * span, (rmse, span)
+
+
+class TestLocalWindowSpanningTree:
+    """UpdateLocalKeyFrames adds spanning-tree children and parent of the
+    K1 window (reference src/Tracking.cc:1573-1621) — the escape hatch
+    when covisibility alone starves (post-relocalization, fast rotation)."""
+
+    def test_tree_links_expand_starved_window(self):
+        import numpy as np
+
+        from orb_slam2_commit_tpu.models.map_state import INVALID, MapState
+        from orb_slam2_commit_tpu.slam.tracking import Tracker
+        from orb_slam2_commit_tpu.utils.config import MapConfig, synthetic_config
+
+        N = 32
+        cfg = synthetic_config(width=320, height=240, n_features=N)
+        m = MapState.create(MapConfig(max_keyframes=8, max_points=256), N)
+
+        def add_kf(bound_pids):
+            xy = np.zeros((N, 2))
+            octv = np.zeros(N, np.int32)
+            ang = np.zeros(N, np.float32)
+            desc = np.zeros((N, 8), np.uint32)
+            fvalid = np.zeros(N, bool)
+            binding = np.full(N, INVALID, np.int32)
+            for slot, pid in enumerate(bound_pids):
+                fvalid[slot] = True
+                binding[slot] = pid
+            return m.add_keyframe(
+                np.eye(3), np.zeros(3), xy, octv, ang, desc, fvalid,
+                binding, frame_id=m.next_kf, timestamp=float(m.next_kf),
+            )
+
+        # KF0 observes points 0-19; KF1 shares only 5 with KF0 (below the
+        # covisibility threshold 15) but is KF0's spanning-tree child;
+        # KF2 is KF0's parent, sharing nothing.
+        pids = m.add_points(
+            np.random.default_rng(0).uniform(-1, 1, (40, 3)) + [0, 0, 5],
+            first_kf=0,
+        )
+        kf0 = add_kf(pids[:20])
+        kf1 = add_kf(pids[15:20].tolist() + pids[20:35].tolist())
+        kf2 = add_kf(pids[35:40])
+        m.kf_parent[kf1] = kf0   # child link
+        m.kf_parent[kf0] = kf2   # parent link
+
+        tracker = Tracker(cfg, m)
+        import types
+
+        frame = types.SimpleNamespace(
+            point_ids=np.asarray(pids[:15], np.int32)  # only KF0 observes
+        )
+        local = set(tracker._local_keyframes(frame).tolist())
+        # KF0 is the lone covisible observer; the tree links must pull in
+        # both the child (KF1) and the parent (KF2).
+        assert kf0 in local
+        assert kf1 in local, "spanning-tree child missing from local window"
+        assert kf2 in local, "spanning-tree parent missing from local window"
