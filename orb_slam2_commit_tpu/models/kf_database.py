@@ -37,9 +37,6 @@ class KeyFrameDatabase:
         # keyframe's feature budget; unique words never exceed features).
         self.word_ids: np.ndarray | None = None   # [K, Wcap] int64, -1 pad
         self.weights: np.ndarray | None = None    # [K, Wcap] f32, 0 pad
-        # Cached word ids / mid-level nodes per KF (for BoW matching).
-        self.words: dict = {}
-        self.nodes: dict = {}
 
     # ------------------------------------------------------------------
 
@@ -58,7 +55,7 @@ class KeyFrameDatabase:
             )
 
     def add(self, kf_id: int, desc: np.ndarray, valid: np.ndarray) -> None:
-        words, nodes = self.voc.transform(desc, valid)
+        words, _nodes = self.voc.transform(desc, valid)
         uw, wt = self.voc.sparse_bow(words)
         self._ensure_cols(uw.size)
         self.word_ids[kf_id] = -1
@@ -66,8 +63,6 @@ class KeyFrameDatabase:
         self.word_ids[kf_id, : uw.size] = uw
         self.weights[kf_id, : uw.size] = wt
         self.present[kf_id] = True
-        self.words[kf_id] = words
-        self.nodes[kf_id] = nodes
 
     def grow(self, kind: str, new_capacity: int) -> None:
         """MapState grow hook: keep the database sized with the map's
@@ -90,16 +85,12 @@ class KeyFrameDatabase:
         if self.word_ids is not None:
             self.word_ids[kf_id] = -1
             self.weights[kf_id] = 0.0
-        self.words.pop(kf_id, None)
-        self.nodes.pop(kf_id, None)
 
     def clear(self) -> None:
         self.present[:] = False
         if self.word_ids is not None:
             self.word_ids[:] = -1
             self.weights[:] = 0.0
-        self.words.clear()
-        self.nodes.clear()
 
     # ------------------------------------------------------------------
 
