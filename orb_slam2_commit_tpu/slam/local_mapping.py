@@ -549,16 +549,24 @@ class LocalMapper:
         if pts.size < 10:
             return
         # Fixed second ring: KFs observing those points but not free.
+        # One vectorized mark-gather over the whole observation table
+        # (a per-KF np.isin scan is O(K * N log P) and dominates mapper
+        # time past ~200 keyframes).
         fixed = list(always_fixed)
         truncated_fixed = False
-        for k in np.where(self.map.kf_valid)[0]:
-            if int(k) in free_set or int(k) in always_fixed:
+        mark = np.zeros(self.map.cfg.max_points, bool)
+        mark[pts] = True
+        valid_kfs = np.where(self.map.kf_valid)[0]
+        kpi = self.map.kf_point_idx[valid_kfs]                  # [K', N]
+        observes = (mark[np.maximum(kpi, 0)] & (kpi >= 0)).any(axis=1)
+        skip = free_set.union(always_fixed)
+        for k in valid_kfs[observes]:
+            if int(k) in skip:
                 continue
-            if np.isin(self.map.kf_point_idx[k], pts).any():
-                if len(fixed) >= max_fixed:
-                    truncated_fixed = True
-                    break
-                fixed.append(int(k))
+            if len(fixed) >= max_fixed:
+                truncated_fixed = True
+                break
+            fixed.append(int(k))
         if truncated_fixed:
             _LOG.warning(
                 "local BA: truncating fixed ring at %d KFs (kf=%d)",

@@ -128,12 +128,14 @@ def render(
     depth = np.zeros((h, w), dtype=np.float32)
     pc = scene.points @ R_cw.T + t_cw
     z = pc[:, 2]
-    order = np.argsort(-z)  # far first so near landmarks draw on top
+    # Vectorized visibility pre-cull (city-block drive scenes carry 10^4-10^5
+    # landmarks; the splat loop must only touch the in-frustum few hundred).
+    vis = (z >= 0.5) & (z <= max_depth)
+    order = np.where(vis)[0]
+    order = order[np.argsort(-z[order])]  # far first: near draws on top
     half = scene.patch_half
     s = 2 * half + 1
     for i in order:
-        if z[i] < 0.5 or z[i] > max_depth:
-            continue
         xn, yn = pc[i, 0] / z[i], pc[i, 1] / z[i]
         if cam.has_distortion:
             # Lens model: the raw image is DISTORTED (the pipeline
@@ -360,6 +362,106 @@ def render_loop_sequence(
         [render(scene, R, t, cam, max_depth=max_depth) for R, t in poses]
     )
     return images, poses, scene
+
+
+def drive_path(theta: np.ndarray, r0: float = 40.0, lobe: float = 0.18):
+    """Closed city-block circuit: radius-modulated ring r(th) = r0 *
+    (1 + lobe cos 4th) — four smooth "corners" with elevated yaw rate
+    (KITTI-00-class loop geometry with rotation-heavy segments).
+    Returns centers [M, 3] (y = 0 plane)."""
+    r = r0 * (1.0 + lobe * np.cos(4.0 * theta))
+    return np.stack(
+        [r * np.sin(theta), np.zeros_like(theta), r * np.cos(theta)], -1
+    )
+
+
+def drive_scene(
+    rng: np.random.Generator,
+    n_points: int = 40000,
+    r0: float = 40.0,
+    lobe: float = 0.18,
+    lateral_range: Tuple[float, float] = (4.0, 11.0),
+    height: float = 3.0,
+    patch_size: int = 11,
+) -> Scene:
+    """Street-canyon landmark field along the drive_path circuit:
+    landmarks in bands on BOTH sides of the street (building walls),
+    jittered near-even along arc length so the sprite features stay
+    distinct. Scales to 10^4-10^5 landmarks (the KITTI-class map-size
+    regime, reference Examples/Stereo/stereo_kitti.cc:29-166)."""
+    n_side = n_points // 2
+    # Near-even arc placement with jitter (see ring_scene rationale).
+    th = (np.arange(n_side) + rng.uniform(0.1, 0.9, n_side)) * (
+        2.0 * np.pi / n_side
+    )
+    centers = drive_path(th, r0, lobe)
+    # In-plane outward normal (radial direction is a good approximation
+    # for small lobe).
+    nrm = np.stack([np.sin(th), np.zeros_like(th), np.cos(th)], -1)
+    out_pts = centers + nrm * rng.uniform(*lateral_range, n_side)[:, None]
+    th2 = (np.arange(n_points - n_side) + rng.uniform(
+        0.1, 0.9, n_points - n_side
+    )) * (2.0 * np.pi / (n_points - n_side))
+    centers2 = drive_path(th2, r0, lobe)
+    nrm2 = np.stack([np.sin(th2), np.zeros_like(th2), np.cos(th2)], -1)
+    in_pts = centers2 - nrm2 * rng.uniform(
+        *lateral_range, n_points - n_side
+    )[:, None]
+    points = np.concatenate([out_pts, in_pts])
+    points[:, 1] = rng.uniform(-height, height, n_points)
+
+    proto = make_scene(rng, n_points=n_points, patch_size=patch_size)
+    return Scene(points=points.astype(np.float64),
+                 patches=proto.patches, patch_half=proto.patch_half)
+
+
+def drive_trajectory(
+    n_frames: int,
+    r0: float = 40.0,
+    lobe: float = 0.18,
+    frac: float = 1.18,
+) -> List[Tuple[np.ndarray, np.ndarray]]:
+    """Tangential-heading survey around drive_path; frac > 1 re-traverses
+    the opening sector, closing the loop at the end of the drive (the
+    KITTI-00 revisit structure). Returns (R_cw, t_cw) per frame."""
+    poses = []
+    th = np.linspace(0.0, 2.0 * np.pi * frac, n_frames)
+    c = drive_path(th, r0, lobe)
+    # Tangent via finite differences -> yaw heading.
+    fwd = np.gradient(c, axis=0)
+    for k in range(n_frames):
+        f = fwd[k] / max(np.linalg.norm(fwd[k]), 1e-9)
+        yaw = np.arctan2(f[0], f[2])
+        cy, sy = np.cos(yaw), np.sin(yaw)
+        R_wc = np.array([[cy, 0, sy], [0, 1, 0], [-sy, 0, cy]])
+        R_cw = R_wc.T
+        t_cw = -R_cw @ c[k]
+        poses.append((R_cw, t_cw))
+    return poses
+
+
+def drive_frames(
+    cam: CameraConfig,
+    n_frames: int = 1600,
+    n_points: int = 40000,
+    seed: int = 0,
+    r0: float = 40.0,
+    lobe: float = 0.18,
+    frac: float = 1.18,
+    max_depth: float = 16.0,
+):
+    """Lazy generator of (index, image) for the KITTI-class drive, plus
+    the ground-truth poses and scene. Images are rendered on demand —
+    a pre-rendered 1600-frame f32 stack would be ~2 GB."""
+    rng = np.random.default_rng(seed)
+    scene = drive_scene(rng, n_points=n_points, r0=r0, lobe=lobe)
+    poses = drive_trajectory(n_frames, r0=r0, lobe=lobe, frac=frac)
+
+    def frames():
+        for k, (R, t) in enumerate(poses):
+            yield k, render(scene, R, t, cam, max_depth=max_depth)
+
+    return frames, poses, scene
 
 
 def render_stereo_sequence(
