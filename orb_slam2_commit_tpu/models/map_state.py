@@ -449,7 +449,12 @@ class MapState:
         flat_pt = obs_pt.reshape(-1)
         sel = flat_pt >= 0
         if point_ids is not None:
-            sel &= np.isin(flat_pt, point_ids)
+            point_ids = np.asarray(point_ids)
+            if point_ids.size == 0:
+                return
+            mark = np.zeros(self.cfg.max_points, bool)
+            mark[point_ids] = True
+            sel &= mark[np.maximum(flat_pt, 0)]
         if not sel.any():
             return
         pt = flat_pt[sel]
@@ -491,10 +496,20 @@ class MapState:
 
         # Representative descriptor: min median Hamming distance to the
         # other observations (oracle: MapPoint::ComputeDistinctiveDescriptors,
-        # src/MapPoint.cc:249-320). Per-point groups are tiny.
+        # src/MapPoint.cc:249-320). Observations are sorted by point once
+        # and processed as contiguous group slices — a per-point `pt == pid`
+        # scan is O(points x observations) and was the dominant mapper
+        # cost past ~150 keyframes.
         desc_obs = self.kf_desc[kf_of_obs, feat_of_obs]  # [M, 8] uint32
-        for pid in upd:
-            grp = desc_obs[pt == pid]
+        grp_order = np.argsort(pt, kind="stable")
+        pt_sorted = pt[grp_order]
+        desc_sorted = desc_obs[grp_order]
+        starts = np.r_[0, np.where(np.diff(pt_sorted) != 0)[0] + 1,
+                       pt_sorted.size]
+        for gi in range(starts.size - 1):
+            a, b = starts[gi], starts[gi + 1]
+            pid = pt_sorted[a]
+            grp = desc_sorted[a:b]
             if grp.shape[0] == 1:
                 self.pt_desc[pid] = grp[0]
                 continue

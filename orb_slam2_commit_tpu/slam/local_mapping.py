@@ -55,6 +55,14 @@ class LocalMapper:
         # Optional coarse map lock for the async pipeline: held for host
         # map mutations, released during the device-side BA solve.
         self.map_lock = contextlib.nullcontext()
+        # Optional sub-stage profiler (set by the System). Stages:
+        # map_refresh, map_cullpts, map_tri, map_fuse, map_lba, map_cullkfs.
+        self.profiler = None
+
+    def _timed(self, stage: str):
+        if self.profiler is None:
+            return contextlib.nullcontext()
+        return self.profiler.timed(stage)
 
     # ------------------------------------------------------------------
 
@@ -64,19 +72,56 @@ class LocalMapper:
         # for scripts/diag_drift.py, not a user surface.
         skip = set(os.environ.get("ORB_DIAG_SKIP", "").split(","))
         with self.map_lock:
-            self.map.refresh_point_stats()
+            # Stats refresh restricted to points this keyframe touches —
+            # a full-map refresh is O(total observations) and runs twice
+            # per keyframe, which dominates mapper time at map scale.
+            with self._timed("map_refresh"):
+                self.map.refresh_point_stats(self._window_points(kf))
             if "cullpts" not in skip:
-                self._cull_recent_points(kf)
+                with self._timed("map_cullpts"):
+                    self._cull_recent_points(kf)
             if "tri" not in skip:
-                self._create_new_points(kf)
+                with self._timed("map_tri"):
+                    self._create_new_points(kf)
             if "fuse" not in skip:
-                self._fuse_neighbors(kf)
-            self.map.refresh_point_stats()
+                with self._timed("map_fuse"):
+                    self._fuse_neighbors(kf)
+            with self._timed("map_refresh"):
+                self.map.refresh_point_stats(self._window_points(kf))
         if self.map.n_keyframes() > 2 and not self.abort_ba and "lba" not in skip:
-            self._local_ba(kf)
+            with self._timed("map_lba"):
+                self._local_ba(kf)
         with self.map_lock:
             if "cullkfs" not in skip:
-                self._cull_keyframes(kf)
+                with self._timed("map_cullkfs"):
+                    self._cull_keyframes(kf)
+
+    # ------------------------------------------------------------------
+
+    def _window_points(self, kf: int) -> np.ndarray:
+        """Points whose stats this keyframe's mapping round can change:
+        everything bound in the fuse window (kf + first/second covisible
+        ring) — the same neighborhood _fuse_neighbors touches — plus the
+        recent-point watchlist."""
+        n_first = 10 if self.config.sensor == "monocular" else 20
+        kfs = [int(kf)]
+        seen = {int(kf)}
+        for k in self.map.covisible_keyframes(kf, n_first, min_weight=15):
+            if int(k) not in seen:
+                kfs.append(int(k))
+                seen.add(int(k))
+            for k2 in self.map.covisible_keyframes(int(k), 5, min_weight=15):
+                if int(k2) not in seen:
+                    kfs.append(int(k2))
+                    seen.add(int(k2))
+        pids = self.map.kf_point_idx[np.asarray(kfs)].reshape(-1)
+        pids = np.unique(pids[pids >= 0])
+        recent = np.asarray(
+            [rp.pt_id for rp in self.recent_points], np.int64
+        )
+        if recent.size:
+            pids = np.union1d(pids, recent)
+        return pids[self.map.pt_valid[pids]] if pids.size else pids
 
     # ------------------------------------------------------------------
 
@@ -597,7 +642,8 @@ class LocalMapper:
         )
         with self.map_lock:
             write_back_ba(self.map, assembled, out, result)
-            self.map.refresh_point_stats()
+            # Only the solved points' stats can have changed.
+            self.map.refresh_point_stats(pts)
 
     # ------------------------------------------------------------------
 

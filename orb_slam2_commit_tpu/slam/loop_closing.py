@@ -437,22 +437,25 @@ class LoopCloser:
             corrected[i] = (s_i, R_i, t_i)
 
         # 2. Correct the neighborhood's map points: p' = S_corr^-1(S_old(p))
-        #    (:637-675). Use each point's earliest corrected observer.
-        done_pts: Set[int] = set()
+        #    (:637-675). Use each point's earliest corrected observer
+        #    (array done-mask; the neighborhood can span hundreds of KFs
+        #    at map scale).
+        done_pts = np.zeros(m.cfg.max_points, bool)
         for i in neighborhood:
             s_i, R_i, t_i = corrected[i]
             Ri_old, ti_old = m.kf_pose_R[i], m.kf_pose_t[i]
             pids = m.kf_point_idx[i]
             pids = np.unique(pids[pids >= 0])
-            pids = [p for p in pids if p not in done_pts and m.pt_valid[p]]
-            if not pids:
+            if pids.size:
+                pids = pids[m.pt_valid[pids] & ~done_pts[pids]]
+            if not pids.size:
                 continue
-            pw = m.pt_pos[np.asarray(pids)]
+            pw = m.pt_pos[pids]
             p_cam = pw @ Ri_old.T + ti_old                  # old SE3
             # Inverse similarity: p_w' = (R_i^T (p_cam - t_i)) / s_i
             pw_new = ((p_cam - t_i) @ R_i) / s_i
-            m.pt_pos[np.asarray(pids)] = pw_new
-            done_pts.update(int(p) for p in pids)
+            m.pt_pos[pids] = pw_new
+            done_pts[pids] = True
 
         # 3. SE3-ify corrected poses: R = R_corr, t = t_corr / s (:681-696).
         for i in neighborhood:
@@ -581,20 +584,21 @@ class LoopCloser:
         t_out = np.asarray(out.t)
         # Correct points through their reference KF's Sim3 delta
         # (reference :1174-1199): each point exactly ONCE, via its first
-        # valid observer. Then SE3-ify poses.
-        done: Set[int] = set()
+        # valid observer. Then SE3-ify poses. Array done-mask, not a
+        # Python set — this loop runs over EVERY keyframe at map scale.
+        done_mask = np.zeros(m.cfg.max_points, bool)
         for local, k in enumerate(valid_kfs):
             R_old, t_old = m.kf_pose_R[k], m.kf_pose_t[k]
             pids = m.kf_point_idx[k]
             pids = np.unique(pids[pids >= 0])
-            pids = pids[m.pt_valid[pids]] if pids.size else pids
-            pids = np.asarray([p for p in pids if int(p) not in done], int)
+            if pids.size:
+                pids = pids[m.pt_valid[pids] & ~done_mask[pids]]
             if pids.size:
                 pw = m.pt_pos[pids]
                 p_cam = pw @ R_old.T + t_old
                 pw_new = ((p_cam - t_out[local]) @ R_out[local]) / s_out[local]
                 m.pt_pos[pids] = pw_new
-                done.update(int(p) for p in pids)
+                done_mask[pids] = True
         for local, k in enumerate(valid_kfs):
             m.kf_pose_R[k] = orthonormalize_rotation(R_out[local])
             m.kf_pose_t[k] = t_out[local] / s_out[local]

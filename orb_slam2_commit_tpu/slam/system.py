@@ -72,6 +72,8 @@ class System:
         from orb_slam2_commit_tpu.utils.profiling import Profiler
 
         self.profiler = Profiler()
+        self.tracker.profiler = self.profiler
+        self.mapper.profiler = self.profiler
         self.vocabulary = None
         self.kf_database = None
         self.loop_closer = None
@@ -237,7 +239,9 @@ class System:
                         )
             return pose
 
-        if pose is not None and self.tracker.need_new_keyframe(frame):
+        with self.profiler.timed("track_need_kf"):
+            need_kf = pose is not None and self.tracker.need_new_keyframe(frame)
+        if need_kf:
             # The anchor rebind must happen BEFORE mapping/loop closing
             # move the new keyframe (relative pose = identity at creation
             # — the reference's CreateNewKeyFrame-before-bookkeeping
@@ -337,7 +341,9 @@ class System:
             self.map = MapState.create(self.config.map, n_feat)
             self.tracker = Tracker(self.config, self.map)
             self.tracker.localization_only = localization_only
+            self.tracker.profiler = self.profiler
             self.mapper = LocalMapper(self.config, self.map)
+            self.mapper.profiler = self.profiler
             if self.kf_database is not None:
                 self.kf_database.clear()
                 self.tracker.kf_database = self.kf_database

@@ -91,6 +91,10 @@ class Tracker:
         # (src/Tracking.cc:1240-1295). None = synchronous mapper, which
         # is always idle.
         self.mapping_worker = None
+        # Optional sub-stage profiler (set by the System; see
+        # utils/profiling.Profiler). Stages: track_motion, track_ref_kf,
+        # track_local_map, track_reloc, track_need_kf.
+        self.profiler = None
 
     # ------------------------------------------------------------------
     # Pose optimization wrapper
@@ -1009,6 +1013,13 @@ class Tracker:
                 return frame.R, frame.t
             return None
 
+        import contextlib
+
+        def timed(stage):
+            if self.profiler is None:
+                return contextlib.nullcontext()
+            return self.profiler.timed(stage)
+
         ok = False
         if self.state == TrackingState.OK:
             if motion_ok is not None:
@@ -1017,7 +1028,8 @@ class Tracker:
                     # Same ladder as the staged path (reference
                     # src/Tracking.cc:359-368): a failed motion stage falls
                     # back to BoW tracking against the reference keyframe.
-                    ok = self._track_reference_keyframe(frame)
+                    with timed("track_ref_kf"):
+                        ok = self._track_reference_keyframe(frame)
             elif self.localization_only and self.vo_only:
                 # Visual-odometry mode: ride the motion model on temporal
                 # points AND attempt relocalization; a successful reloc
@@ -1036,14 +1048,18 @@ class Tracker:
                     ok = True
             else:
                 self._spawn_temporal_vo_points()
-                ok = self._track_with_motion_model(frame)
+                with timed("track_motion"):
+                    ok = self._track_with_motion_model(frame)
                 if not ok:
-                    ok = self._track_reference_keyframe(frame)
+                    with timed("track_ref_kf"):
+                        ok = self._track_reference_keyframe(frame)
         else:  # LOST
-            ok = self._relocalize(frame)
+            with timed("track_reloc"):
+                ok = self._relocalize(frame)
 
         if ok and not (self.localization_only and self.vo_only):
-            ok = self._track_local_map(frame)
+            with timed("track_local_map"):
+                ok = self._track_local_map(frame)
 
         if ok:
             self.state = TrackingState.OK

@@ -449,17 +449,28 @@ def drive_frames(
     lobe: float = 0.18,
     frac: float = 1.18,
     max_depth: float = 16.0,
+    stereo: bool = False,
 ):
-    """Lazy generator of (index, image) for the KITTI-class drive, plus
-    the ground-truth poses and scene. Images are rendered on demand —
-    a pre-rendered 1600-frame f32 stack would be ~2 GB."""
+    """Lazy generator of (index, image) — or (index, left, right) with
+    stereo=True, right camera displaced by cam.baseline — for the
+    KITTI-class drive, plus the ground-truth poses and scene. Images are
+    rendered on demand (a pre-rendered 1600-frame f32 stack is ~2 GB)."""
     rng = np.random.default_rng(seed)
     scene = drive_scene(rng, n_points=n_points, r0=r0, lobe=lobe)
     poses = drive_trajectory(n_frames, r0=r0, lobe=lobe, frac=frac)
+    b = cam.baseline if stereo else 0.0
 
     def frames():
         for k, (R, t) in enumerate(poses):
-            yield k, render(scene, R, t, cam, max_depth=max_depth)
+            left = render(scene, R, t, cam, max_depth=max_depth)
+            if stereo:
+                right = render(
+                    scene, R, t - np.array([b, 0.0, 0.0]), cam,
+                    max_depth=max_depth,
+                )
+                yield k, left, right
+            else:
+                yield k, left
 
     return frames, poses, scene
 

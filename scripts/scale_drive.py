@@ -40,8 +40,10 @@ def main(argv):
     width = int(flags.get("--width", 640))
     height = int(flags.get("--height", 480))
     use_async = "--async" in flags
+    stereo = "--stereo" in flags
     r0 = float(flags.get("--r0", 40.0))
     frac = float(flags.get("--frac", 1.18))
+    max_depth = float(flags.get("--max-depth", 16.0))
     out_path = flags.get("--out", "scale_drive.json")
     if flags.get("--cpu", True):
         import jax
@@ -54,7 +56,10 @@ def main(argv):
     from orb_slam2_commit_tpu.utils import trajectory as traj
     from orb_slam2_commit_tpu.utils.config import synthetic_config
 
-    cfg = synthetic_config(width=width, height=height, n_features=n_features)
+    cfg = synthetic_config(
+        width=width, height=height, n_features=n_features,
+        sensor="stereo" if stereo else "monocular",
+    )
     # Drive-scale keyframe policy: ~0.7 m spacing at ~9 m median depth,
     # corner rotations trigger via view angle.
     cfg = dataclasses.replace(
@@ -71,7 +76,7 @@ def main(argv):
 
     frames, poses_gt, scene = synthetic.drive_frames(
         cfg.camera, n_frames=n_frames, n_points=n_points, seed=7,
-        r0=r0, frac=frac,
+        r0=r0, frac=frac, max_depth=max_depth, stereo=stereo,
     )
     log = open(out_path + ".log", "w")
 
@@ -82,11 +87,16 @@ def main(argv):
     pt_count = np.zeros(n_frames, np.int32)
     render_s = 0.0
     t_r0 = time.perf_counter()
-    for k, img in frames():
+    for item in frames():
         t_r1 = time.perf_counter()
         render_s += t_r1 - t_r0
         t0 = time.perf_counter()
-        sys_.track_monocular(img, k / 30.0)
+        if stereo:
+            k, left, right = item
+            sys_.track_stereo(left, right, k / 30.0)
+        else:
+            k, img = item
+            sys_.track_monocular(img, k / 30.0)
         t1 = time.perf_counter()
         frame_dt[k] = t1 - t0
         kf_count[k] = sys_.map.n_keyframes()
