@@ -67,19 +67,21 @@ def place_frames(n_places: int = 40, seed: int = 0):
 
 def eval_depth(voc, db, queries, depth: int):
     lu = voc.levels - depth
+
     def bow(desc):
-        words, _ = voc.transform(desc, np.ones(desc.shape[0], bool),
-                                 levels_up=max(lu, 0))
+        words, nodes = voc.transform(desc, np.ones(desc.shape[0], bool),
+                                     levels_up=max(lu, 0))
         if lu > 0:
-            # Ancestor ids are node ids; use occurrence counts with
-            # uniform weights (idf is word-level; uniform is the fair
-            # depth-L' comparison).
-            w = words[words >= 0]
-            uw, cnt = np.unique(w, return_counts=True)
-            wt = cnt.astype(np.float32)
-            wt /= max(wt.sum(), 1e-9)
-            return uw.astype(np.int64), wt
-        return voc.sparse_bow(words)
+            words = nodes  # ancestor ids at depth L' = levels - lu
+        # Occurrence counts with uniform weights at every depth (idf is
+        # defined per leaf word only — uniform weighting is the fair
+        # depth-L' comparison; the shipped depth-5 TF-IDF path is
+        # reported separately by eval_leaf_tfidf).
+        w = words[words >= 0]
+        uw, cnt = np.unique(w, return_counts=True)
+        wt = cnt.astype(np.float32)
+        wt /= max(wt.sum(), 1e-9)
+        return uw.astype(np.int64), wt
 
     db_bows = [bow(d) for d in db]
     n = len(db)
@@ -120,10 +122,30 @@ def main():
            "n_places": len(db),
            "feature_budget": int(np.mean([d.shape[0] for d in db])),
            "depths": []}
-    for depth in (3, 4, 5):
+    for depth in (2, 3, 4, 5):
         r = eval_depth(voc, db, queries, depth)
         out["depths"].append(r)
         print(json.dumps(r), flush=True)
+    # The shipped production path: depth-5 leaves with TF-IDF weights.
+    def tfidf_bow(desc):
+        words, _ = voc.transform(desc, np.ones(desc.shape[0], bool))
+        return voc.sparse_bow(words)
+
+    db_bows = [tfidf_bow(d) for d in db]
+    correct = 0
+    margins = []
+    for i, q in enumerate(queries):
+        qb = tfidf_bow(q)
+        scores = np.array([voc.sparse_score(*qb, *b) for b in db_bows])
+        if int(np.argmax(scores)) == i:
+            correct += 1
+        impostor = np.max(np.delete(scores, i))
+        margins.append(float(scores[i] - impostor))
+    out["leaf_tfidf"] = {
+        "precision_top1": correct / len(db),
+        "mean_margin": float(np.mean(margins)),
+        "p10_margin": float(np.percentile(margins, 10)),
+    }
     with open("VOCAB_DEPTH.json", "w") as f:
         json.dump(out, f, indent=1)
     print(json.dumps(out, indent=1))

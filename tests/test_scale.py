@@ -74,7 +74,12 @@ class TestFullDrive:
         from orb_slam2_commit_tpu.utils import trajectory as traj
 
         n_frames = int(os.environ.get("ORB_SCALE_FRAMES", 1600))
-        cfg = synthetic_config(width=640, height=480, n_features=1500)
+        # Stereo: the reference's KITTI regime is stereo
+        # (Examples/Stereo/stereo_kitti.cc), and close-depth point
+        # spawning is what reaches the 10^5-point class.
+        cfg = synthetic_config(
+            width=640, height=480, n_features=1500, sensor="stereo"
+        )
         cfg = dataclasses.replace(
             cfg,
             tracker=dataclasses.replace(
@@ -84,13 +89,14 @@ class TestFullDrive:
             ),
         )
         frames, poses_gt, scene = synthetic.drive_frames(
-            cfg.camera, n_frames=n_frames, n_points=40000, seed=7
+            cfg.camera, n_frames=n_frames, n_points=40000, seed=7,
+            stereo=True,
         )
         sys_ = System(cfg)
         dt = np.zeros(n_frames)
-        for k, img in frames():
+        for k, left, right in frames():
             t0 = time.perf_counter()
-            sys_.track_monocular(img, k / 30.0)
+            sys_.track_stereo(left, right, k / 30.0)
             dt[k] = time.perf_counter() - t0
         sys_.shutdown()
 
