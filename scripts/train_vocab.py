@@ -63,6 +63,14 @@ def build_corpus(n_scenes: int = 3, n_frames: int = 12,
 
 
 def main():
+    # Corpus scaling via env (an L=6 train wants a few-x bigger corpus:
+    # ORB_VOC_SCENES=6 ORB_VOC_FRAMES=16 ORB_VOC_FLIPS=11).
+    global build_corpus
+    n_scenes = int(os.environ.get("ORB_VOC_SCENES", 3))
+    n_frames = int(os.environ.get("ORB_VOC_FRAMES", 12))
+    flips = int(os.environ.get("ORB_VOC_FLIPS", 9))
+    _orig = build_corpus
+    build_corpus = lambda: _orig(n_scenes, n_frames, flips)  # noqa: E731
     k = int(sys.argv[1]) if len(sys.argv) > 1 else 10
     L = int(sys.argv[2]) if len(sys.argv) > 2 else 5
     out = sys.argv[3] if len(sys.argv) > 3 else os.path.join(

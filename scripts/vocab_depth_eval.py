@@ -115,14 +115,22 @@ def eval_depth(voc, db, queries, depth: int):
 
 
 def main():
-    voc = default_vocabulary()
+    # Optional: evaluate a specific vocabulary file (e.g. the L=6 train)
+    # instead of the shipped default; second arg = output json path.
+    if len(sys.argv) > 1:
+        from orb_slam2_commit_tpu.models.vocabulary import BinaryVocabulary
+
+        voc = BinaryVocabulary.load_npz(sys.argv[1])
+    else:
+        voc = default_vocabulary()
+    out_path = sys.argv[2] if len(sys.argv) > 2 else "VOCAB_DEPTH.json"
     assert voc is not None
     db, queries = place_frames()
     out = {"vocab_words": int(voc.n_words), "k": voc.k, "L": voc.levels,
            "n_places": len(db),
            "feature_budget": int(np.mean([d.shape[0] for d in db])),
            "depths": []}
-    for depth in (2, 3, 4, 5):
+    for depth in range(2, voc.levels + 1):
         r = eval_depth(voc, db, queries, depth)
         out["depths"].append(r)
         print(json.dumps(r), flush=True)
@@ -146,7 +154,7 @@ def main():
         "mean_margin": float(np.mean(margins)),
         "p10_margin": float(np.percentile(margins, 10)),
     }
-    with open("VOCAB_DEPTH.json", "w") as f:
+    with open(out_path, "w") as f:
         json.dump(out, f, indent=1)
     print(json.dumps(out, indent=1))
 

