@@ -175,7 +175,7 @@ def test_database_query_with_padded_rows():
 
 class TestShippedVocabularyScale:
     """The bundled production vocabulary (data/default_voc.npz, trained by
-    scripts/train_vocab.py at k=10/L=5) validated at its real scale — the
+    scripts/train_vocab.py at k=10/L=6, ~615k words) validated at its real scale — the
     counterpart of the reference's ~1M-word ORBvoc.txt assumptions
     (TemplatedVocabulary.h:1218-1338, src/KeyFrame.cc:70-76)."""
 
@@ -188,8 +188,8 @@ class TestShippedVocabularyScale:
         return v
 
     def test_scale(self, voc):
-        assert voc.n_words >= 50_000, voc.n_words
-        assert voc.k == 10 and voc.levels == 5
+        assert voc.n_words >= 500_000, voc.n_words
+        assert voc.k == 10 and voc.levels == 6
 
     def test_retrieval_discrimination(self, voc):
         """Place-recognition shape: jittered re-observations of the same
@@ -227,7 +227,7 @@ class TestShippedVocabularyScale:
 
     def test_tree_descent_throughput(self, voc):
         """Batched device descent at frame scale; prints the line the
-        perf audit asks for (features/s through the k=10/L=5 tree)."""
+        perf audit asks for (features/s through the k=10/L=6 tree)."""
         import time
 
         rng = np.random.default_rng(13)
