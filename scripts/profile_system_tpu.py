@@ -81,8 +81,8 @@ def main(argv):
 
     cfg = synthetic_config(width=640, height=480, n_features=1000)
     images, poses_gt, scene = synthetic.render_sequence(
-        cfg.camera, n_frames=n_warm + n_frames, n_points=500, seed=3,
-        step=0.04, motion="sweep",
+        cfg.camera, n_frames=n_warm + n_frames, n_points=600, seed=3,
+        step=0.03, motion="forward",
     )
     # uint8 upload (4x less tunnel traffic; graphs cast in-graph).
     images = np.clip(np.round(images), 0, 255).astype(np.uint8)
@@ -93,7 +93,8 @@ def main(argv):
     for i in range(n_warm):
         sys_.track_monocular(images[i], i / 30.0)
     print("warm done:", sys_.tracking_state().name,
-          "kfs", sys_.map.n_keyframes())
+          "kfs", sys_.map.n_keyframes(), flush=True)
+    lost_before = sum(e.lost for e in sys_.tracker.trajectory)
 
     trace_dir = "traces/system_tpu"
     os.makedirs(trace_dir, exist_ok=True)
@@ -121,9 +122,14 @@ def main(argv):
         k: v for k, v in planes.items()
         if "TPU" in k.upper() or "device" in k.lower()
     }
+    lost_traced = sum(
+        e.lost for e in sys_.tracker.trajectory
+    ) - lost_before
     summary = {
         "platform": platform,
         "n_frames_traced": n_frames,
+        "lost_frames_in_trace": int(lost_traced),
+        "final_state": sys_.tracking_state().name,
         "wall_s": wall,
         "wall_ms_per_frame": wall * 1e3 / n_frames,
         "traced": traced,
