@@ -94,6 +94,17 @@ def main(argv):
         sys_.track_monocular(images[i], i / 30.0)
     print("warm done:", sys_.tracking_state().name,
           "kfs", sys_.map.n_keyframes(), flush=True)
+    # Steady-state tracking isolation: trace in LOCALIZATION mode over a
+    # ping-pong replay of the mapped region — the per-frame hot path
+    # (fused frontend + local-map track) with no keyframe insertions, so
+    # the trace measures tracking, not a mapping storm. Mapper device
+    # time is reported separately by the stage walls of the warm phase.
+    sys_.activate_localization_mode()
+    order = list(range(n_warm - 1, 4, -1)) + list(range(5, n_warm))
+    replay = (order * ((n_frames // len(order)) + 1))[:n_frames]
+    # Warm the localization-mode executables too.
+    for j in replay[:5]:
+        sys_.track_monocular(images[j], 100.0 + j / 30.0)
     lost_before = sum(e.lost for e in sys_.tracker.trajectory)
 
     trace_dir = "traces/system_tpu"
@@ -106,8 +117,8 @@ def main(argv):
     except Exception as e:  # noqa: BLE001 — axon may not support tracing
         traced = False
         trace_err = repr(e)
-    for i in range(n_warm, n_warm + n_frames):
-        sys_.track_monocular(images[i], i / 30.0)
+    for n, j in enumerate(replay):
+        sys_.track_monocular(images[j], 200.0 + n / 30.0)
     if traced:
         try:
             jax.profiler.stop_trace()
