@@ -163,11 +163,22 @@ class BinaryVocabulary:
     # ------------------------------------------------------------------
 
     def device_arrays(self):
-        return (
-            jnp.asarray(self.children),
-            jnp.asarray(self.node_desc),
-            jnp.asarray(self.word_id),
-        )
+        """Tree tables as device arrays, uploaded ONCE per vocabulary.
+
+        jnp.asarray on a NumPy array makes a fresh device buffer every
+        call — at production vocabulary scale (L=6: ~53 MB of tables)
+        an uncached upload per transform costs seconds through a remote
+        tunnel and dominates the mapper. Cached on first use; the tree
+        is immutable after construction."""
+        cached = self.__dict__.get("_device_cache")
+        if cached is None:
+            cached = (
+                jnp.asarray(self.children),
+                jnp.asarray(self.node_desc),
+                jnp.asarray(self.word_id),
+            )
+            self.__dict__["_device_cache"] = cached
+        return cached
 
     def transform(
         self, desc: np.ndarray, valid: np.ndarray,
