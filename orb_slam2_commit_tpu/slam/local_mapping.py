@@ -444,9 +444,19 @@ class LocalMapper:
                     targets.append(int(k2))
                     seen.add(int(k2))
 
+        # Observation counts are O(K x N) to build; per-target recompute
+        # dominated map_fuse at 300+ keyframes. Cache across targets and
+        # invalidate only when a merge actually moved observations —
+        # bind-only targets (the common case) reuse the snapshot, exactly
+        # as each reference Fuse call uses one live view per target.
+        fuse_counts: dict = {"counts": None}
+
         def merge_matches(target_kf: int, pt_ids: np.ndarray,
                           idx: np.ndarray) -> None:
-            obs_counts = self.map.observation_count()
+            if fuse_counts["counts"] is None:
+                fuse_counts["counts"] = self.map.observation_count()
+            obs_counts = fuse_counts["counts"]
+            dirty = False
             for r in np.where(idx >= 0)[0]:
                 pid = int(pt_ids[r])
                 feat = int(idx[r])
@@ -459,13 +469,21 @@ class LocalMapper:
                     continue
                 if existing >= 0 and self.map.pt_valid[existing]:
                     # Merge: keep the more-observed point (reference:
-                    # src/ORBmatcher.cc:1061-1075).
+                    # src/ORBmatcher.cc:1061-1075); one snapshot per
+                    # target, like each reference Fuse call.
                     if obs_counts[existing] >= obs_counts[pid]:
                         self.map.replace_point(pid, existing)
                     else:
                         self.map.replace_point(existing, pid)
+                    dirty = True
                 else:
                     self.map.kf_point_idx[target_kf, feat] = pid
+            # Plain binds (+1 obs) do not invalidate: the snapshot's only
+            # consumer is the merge tie-break, and both the old
+            # per-target recompute and the reference's live view are
+            # equally approximate about same-round binds.
+            if dirty:
+                fuse_counts["counts"] = None
 
         def fuse_into(target_kf: int, pt_ids: np.ndarray) -> None:
             pt_ids = pt_ids[self.map.pt_valid[pt_ids]]

@@ -102,6 +102,20 @@ def main(argv):
         kf_count[k] = sys_.map.n_keyframes()
         pt_count[k] = int(sys_.map.pt_valid.sum())
         if (k + 1) % 100 == 0:
+            # Incremental partial summary: long CPU runs have died to
+            # host LLVM-compile segfaults near the end (see PERF.md) —
+            # never lose the run's evidence to a late crash.
+            partial = {
+                "partial_at_frame": k + 1,
+                "n_keyframes": int(kf_count[k]),
+                "n_points": int(pt_count[k]),
+                "n_loops_closed": (sys_.loop_closer.n_loops_closed
+                                   if sys_.loop_closer else 0),
+                "state": sys_.tracking_state().name,
+                "stages": sys_.timings(),
+            }
+            with open(out_path + ".partial", "w") as f:
+                json.dump(partial, f, indent=1)
             rec = {
                 "frame": k + 1,
                 "state": sys_.tracking_state().name,
