@@ -227,7 +227,8 @@ class ViewerLoop:
         self.n_rendered = 0
         self._finish_requested = False
         self._finished = False
-        self._stopped = False        # paused (reference mbStopped)
+        self._stop_requested = False  # reference mbStopRequested
+        self._stopped = False        # paused, loop-acknowledged (mbStopped)
         self._reset_requested = False
         self._thread = threading.Thread(
             target=self._run, name="viewer", daemon=True
@@ -266,9 +267,20 @@ class ViewerLoop:
         return self._finished
 
     def request_stop(self) -> None:
-        self._stopped = True
+        """Asynchronous pause request. The render loop acknowledges at
+        its next period boundary — an in-flight render may still
+        complete. Poll is_stopped() before relying on a frozen render
+        count (reference RequestStop → Stop → isStopped handshake,
+        src/Viewer.cc:203-227)."""
+        self._stop_requested = True
+
+    def is_stopped(self) -> bool:
+        """True once the render loop has acknowledged request_stop and
+        will not render again until release() (reference isStopped)."""
+        return self._stopped
 
     def release(self) -> None:
+        self._stop_requested = False
         self._stopped = False
 
     def join(self, timeout: Optional[float] = None) -> None:
@@ -319,7 +331,10 @@ class ViewerLoop:
             if self._reset_requested:
                 self._reset_requested = False
                 self.system.reset()
-            if not self._stopped:
+            if self._stop_requested:
+                self._stopped = True
+            else:
+                self._stopped = False
                 try:
                     self._render_once()
                 except Exception:   # never kill the loop on a draw race

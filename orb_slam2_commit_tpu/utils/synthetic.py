@@ -14,7 +14,7 @@ Host-side NumPy; test-only code, not on the TPU hot path.
 from __future__ import annotations
 
 import dataclasses
-from typing import List, Tuple
+from typing import List, Optional, Tuple
 
 import numpy as np
 
@@ -106,6 +106,127 @@ def _aa_blur(img: np.ndarray, sigma: float = 0.7) -> np.ndarray:
     return sum(k[i] * pad[i : i + img.shape[0], :] for i in range(5)).astype(
         np.float32
     )
+
+
+@dataclasses.dataclass
+class Photometry:
+    """Per-frame photometric degradation: the reference's operating point
+    is real camera imagery — its extractor exists to survive sensor noise
+    and exposure swings (two-threshold FAST fallback,
+    src/ORBextractor.cc:892-915; Gaussian blur before BRIEF :1190). This
+    model adds the dominant effects so accuracy numbers are measured on
+    non-sterile renders:
+
+      * read noise: additive Gaussian, `noise_sigma` gray levels;
+      * shot noise: Gaussian with sigma = shot_noise * sqrt(I/255),
+        brighter pixels noisier (Poisson approximation);
+      * exposure: per-frame gain in `gain_range` (x) and bias in
+        `bias_range` (gray levels), drawn uniformly — auto-exposure hunt;
+      * motion blur: directional blur along the inter-frame image flow,
+        length = motion_blur_frac * |flow| px capped at
+        motion_blur_max_px (shutter open that fraction of frame time).
+
+    All draws are per-frame-index seeded, so resumed drives and repeated
+    renders see identical degradation."""
+
+    noise_sigma: float = 0.0
+    shot_noise: float = 0.0
+    gain_range: Tuple[float, float] = (1.0, 1.0)
+    bias_range: Tuple[float, float] = (0.0, 0.0)
+    motion_blur_frac: float = 0.0
+    motion_blur_max_px: float = 6.0
+
+
+# A moderate "real camera" operating point for tests: sigma=3 gray
+# levels read noise, sqrt-scaled shot noise, +/-20% exposure gain swing.
+CAMERA_PHOTO = Photometry(
+    noise_sigma=3.0, shot_noise=2.0, gain_range=(0.8, 1.2),
+    bias_range=(-6.0, 6.0),
+)
+
+
+def _shift_sample(img: np.ndarray, dx: float, dy: float) -> np.ndarray:
+    """Bilinear sample of img at (x+dx, y+dy), edge-clamped."""
+    h, w = img.shape
+    x0 = int(np.floor(dx))
+    y0 = int(np.floor(dy))
+    fx, fy = dx - x0, dy - y0
+
+    def sh(ix, iy):
+        xs = np.clip(np.arange(w) + ix, 0, w - 1)
+        ys = np.clip(np.arange(h) + iy, 0, h - 1)
+        return img[np.ix_(ys, xs)]
+
+    return ((1 - fx) * (1 - fy) * sh(x0, y0) + fx * (1 - fy) * sh(x0 + 1, y0)
+            + (1 - fx) * fy * sh(x0, y0 + 1) + fx * fy * sh(x0 + 1, y0 + 1))
+
+
+def _motion_blur(img: np.ndarray, flow: np.ndarray, length: float) -> np.ndarray:
+    """Directional blur: average of samples along `flow` direction over
+    `length` pixels (linear shutter-integration approximation, uniform
+    over the frame — valid for the mostly-rigid flow of these scenes)."""
+    if length < 0.5:
+        return img
+    n = max(int(np.ceil(length)) + 1, 2)
+    d = flow / max(np.linalg.norm(flow), 1e-9)
+    offs = np.linspace(-0.5 * length, 0.5 * length, n)
+    acc = np.zeros_like(img)
+    for o in offs:
+        acc += _shift_sample(img, d[0] * o, d[1] * o)
+    return (acc / n).astype(np.float32)
+
+
+def apply_photometry(
+    img: np.ndarray,
+    photo: Optional["Photometry"],
+    seed: int,
+    frame_idx: int,
+    flow_px: Optional[np.ndarray] = None,
+    noise_stream: int = 0,
+) -> np.ndarray:
+    """Degrade one rendered frame. `noise_stream` decorrelates the noise
+    of stereo left/right views while keeping gain/bias shared (real rigs
+    slave the right camera's exposure to the left's)."""
+    if photo is None:
+        return img
+    rng = np.random.default_rng([seed, 7919, frame_idx])
+    gain = rng.uniform(*photo.gain_range)
+    bias = rng.uniform(*photo.bias_range)
+    out = img.astype(np.float32)
+    if photo.motion_blur_frac > 0.0 and flow_px is not None:
+        length = min(
+            photo.motion_blur_frac * float(np.linalg.norm(flow_px)),
+            photo.motion_blur_max_px,
+        )
+        out = _motion_blur(out, np.asarray(flow_px, np.float64), length)
+    out = gain * out + bias
+    if photo.noise_sigma > 0.0 or photo.shot_noise > 0.0:
+        nrng = np.random.default_rng([seed, 104729, frame_idx, noise_stream])
+        sigma = np.sqrt(
+            photo.noise_sigma ** 2
+            + photo.shot_noise ** 2 * np.clip(out, 0.0, 255.0) / 255.0
+        )
+        out = out + sigma * nrng.standard_normal(out.shape)
+    return np.clip(out, 0.0, 255.0).astype(np.float32)
+
+
+def _flow_px(
+    cam: CameraConfig,
+    R_prev: np.ndarray, t_prev: np.ndarray,
+    R_cur: np.ndarray, t_cur: np.ndarray,
+    depth: float = 9.0,
+) -> np.ndarray:
+    """Image-space displacement of the point `depth` m straight ahead of
+    the PREVIOUS camera between the two frames — the blur direction and
+    magnitude a real shutter would integrate."""
+    p_world = R_prev.T @ (np.array([0.0, 0.0, depth]) - t_prev)
+    pc = R_cur @ p_world + t_cur
+    if pc[2] < 0.1:
+        return np.zeros(2)
+    u1 = np.array([cam.fx * pc[0] / pc[2] + cam.cx,
+                   cam.fy * pc[1] / pc[2] + cam.cy])
+    u0 = np.array([cam.fx * 0.0 + cam.cx, cam.fy * 0.0 + cam.cy])
+    return u1 - u0
 
 
 def render(
@@ -248,6 +369,7 @@ def render_sequence(
     motion: str = "forward",
     depth_range: Tuple[float, float] = (4.0, 12.0),
     spread: float = 6.0,
+    photo: Optional[Photometry] = None,
 ):
     """Images [T, H, W] + ground-truth poses + scene
     (+ depth maps [T, H, W] when with_depth).
@@ -270,12 +392,24 @@ def render_sequence(
         poses = sweep_trajectory(n_frames, amp=amp, periods=periods)
     else:
         poses = look_ahead_trajectory(n_frames, step=step)
+    def degrade(img, k):
+        flow = None
+        if photo is not None and photo.motion_blur_frac > 0.0 and k > 0:
+            flow = _flow_px(cam, *poses[k - 1], *poses[k],
+                            depth=float(np.mean(depth_range)))
+        return apply_photometry(img, photo, seed, k, flow_px=flow)
+
     if with_depth:
         rendered = [render(scene, R, t, cam, with_depth=True) for R, t in poses]
-        images = np.stack([r[0] for r in rendered])
+        images = np.stack(
+            [degrade(r[0], k) for k, r in enumerate(rendered)]
+        )
         depths = np.stack([r[1] for r in rendered])
         return images, poses, scene, depths
-    images = np.stack([render(scene, R, t, cam) for R, t in poses])
+    images = np.stack(
+        [degrade(render(scene, R, t, cam), k)
+         for k, (R, t) in enumerate(poses)]
+    )
     return images, poses, scene
 
 
@@ -348,6 +482,7 @@ def render_loop_sequence(
     frac: float = 1.2,
     radius_range: Tuple[float, float] = (7.0, 9.0),
     max_depth: float = 12.0,
+    photo: Optional[Photometry] = None,
 ):
     """Images + ground-truth poses + scene for a loop-closure sequence:
     ring_scene around the circular path of loop_trajectory, far side of
@@ -358,9 +493,15 @@ def render_loop_sequence(
         radius_range=radius_range,
     )
     poses = loop_trajectory(n_frames, radius=radius, frac=frac)
-    images = np.stack(
-        [render(scene, R, t, cam, max_depth=max_depth) for R, t in poses]
-    )
+    images = np.stack([
+        apply_photometry(
+            render(scene, R, t, cam, max_depth=max_depth), photo, seed, k,
+            flow_px=(_flow_px(cam, *poses[k - 1], *poses[k])
+                     if photo is not None and photo.motion_blur_frac > 0.0
+                     and k > 0 else None),
+        )
+        for k, (R, t) in enumerate(poses)
+    ])
     return images, poses, scene
 
 
@@ -450,6 +591,7 @@ def drive_frames(
     frac: float = 1.18,
     max_depth: float = 16.0,
     stereo: bool = False,
+    photo: Optional[Photometry] = None,
 ):
     """Lazy generator of (index, image) — or (index, left, right) with
     stereo=True, right camera displaced by cam.baseline — for the
@@ -460,13 +602,145 @@ def drive_frames(
     poses = drive_trajectory(n_frames, r0=r0, lobe=lobe, frac=frac)
     b = cam.baseline if stereo else 0.0
 
-    def frames():
-        for k, (R, t) in enumerate(poses):
+    def frames(start=0):
+        # `start` supports checkpoint-resumed drives (scripts/scale_drive.py):
+        # poses are analytic and photometric draws are per-frame-seeded,
+        # so skipping ahead reproduces the exact same frames.
+        for k in range(start, len(poses)):
+            R, t = poses[k]
+            flow = None
+            if photo is not None and photo.motion_blur_frac > 0.0 and k > 0:
+                flow = _flow_px(cam, *poses[k - 1], *poses[k])
             left = render(scene, R, t, cam, max_depth=max_depth)
+            left = apply_photometry(left, photo, seed, k, flow_px=flow)
             if stereo:
                 right = render(
                     scene, R, t - np.array([b, 0.0, 0.0]), cam,
                     max_depth=max_depth,
+                )
+                right = apply_photometry(
+                    right, photo, seed, k, flow_px=flow, noise_stream=1
+                )
+                yield k, left, right
+            else:
+                yield k, left
+
+    return frames, poses, scene
+
+
+def figure8_path(s: np.ndarray, r: float = 25.0):
+    """Figure-eight street circuit in the x-z plane: lobe A is the circle
+    of radius r centered at (r, 0, 0), lobe B the circle centered at
+    (-r, 0, 0); both pass through the origin with a +z tangent, so the
+    path crosses itself there with tangent continuity. `s` in [0, 4*pi):
+    s in [0, 2*pi) traverses lobe A, [2*pi, 4*pi) lobe B; beyond 4*pi it
+    re-enters lobe A. Each completed lobe returns the camera to the
+    origin after a full lap of drift — the multi-loop-closure geometry
+    (KITTI 00 closes several loops, reference src/KeyFrame.cc:532-543)."""
+    s = np.asarray(s, np.float64) % (4.0 * np.pi)
+    on_a = s < 2.0 * np.pi
+    u = np.where(on_a, s, s - 2.0 * np.pi)
+    xa = r - r * np.cos(u)
+    xb = -r + r * np.cos(u)
+    x = np.where(on_a, xa, xb)
+    z = r * np.sin(u)
+    return np.stack([x, np.zeros_like(x), z], -1)
+
+
+def figure8_trajectory(
+    n_frames: int,
+    r: float = 25.0,
+    laps: float = 2.15,
+) -> List[Tuple[np.ndarray, np.ndarray]]:
+    """Tangential-heading survey of the figure-eight: `laps` in lobe
+    units (2.15 = lobe A + lobe B + 15% re-entry of lobe A, giving two
+    origin returns with a third revisit for post-closure tracking).
+    Returns (R_cw, t_cw) per frame."""
+    svals = np.linspace(0.0, 2.0 * np.pi * laps, n_frames)
+    c = figure8_path(svals, r)
+    fwd = np.gradient(c, axis=0)
+    poses = []
+    for k in range(n_frames):
+        f = fwd[k] / max(np.linalg.norm(fwd[k]), 1e-9)
+        yaw = np.arctan2(f[0], f[2])
+        cy, sy = np.cos(yaw), np.sin(yaw)
+        R_wc = np.array([[cy, 0, sy], [0, 1, 0], [-sy, 0, cy]])
+        R_cw = R_wc.T
+        t_cw = -R_cw @ c[k]
+        poses.append((R_cw, t_cw))
+    return poses
+
+
+def figure8_scene(
+    rng: np.random.Generator,
+    n_points: int = 60000,
+    r: float = 25.0,
+    lateral_range: Tuple[float, float] = (4.0, 11.0),
+    height: float = 3.0,
+    patch_size: int = 11,
+) -> Scene:
+    """Street-canyon landmarks along both lobes of the figure-eight:
+    bands on each side of the path, jittered near-even along arc length
+    (same design as drive_scene)."""
+    n_lobe = n_points // 2
+    pts = []
+    for sign, n_l in ((1.0, n_lobe), (-1.0, n_points - n_lobe)):
+        n_side = n_l // 2
+        for side, n_s in ((1.0, n_side), (-1.0, n_l - n_side)):
+            u = (np.arange(n_s) + rng.uniform(0.1, 0.9, n_s)) * (
+                2.0 * np.pi / n_s
+            )
+            cx = sign * (r - r * np.cos(u))
+            cz = sign * r * np.sin(u)
+            # Outward radial normal from the lobe's center (sign*r, 0).
+            nx = cx - sign * r
+            nz = cz
+            nn = np.sqrt(nx * nx + nz * nz) + 1e-9
+            off = side * rng.uniform(*lateral_range, n_s)
+            pts.append(np.stack([
+                cx + off * nx / nn,
+                rng.uniform(-height, height, n_s),
+                cz + off * nz / nn,
+            ], -1))
+    points = np.concatenate(pts)
+    proto = make_scene(rng, n_points=n_points, patch_size=patch_size)
+    return Scene(points=points.astype(np.float64),
+                 patches=proto.patches, patch_half=proto.patch_half)
+
+
+def figure8_frames(
+    cam: CameraConfig,
+    n_frames: int = 1400,
+    n_points: int = 60000,
+    seed: int = 0,
+    r: float = 25.0,
+    laps: float = 2.15,
+    max_depth: float = 12.0,
+    stereo: bool = False,
+    photo: Optional[Photometry] = None,
+):
+    """Lazy frame generator for the figure-eight multi-loop drive (same
+    contract as drive_frames, including resume via `start`)."""
+    rng = np.random.default_rng(seed)
+    scene = figure8_scene(rng, n_points=n_points, r=r)
+    poses = figure8_trajectory(n_frames, r=r, laps=laps)
+    b = cam.baseline if stereo else 0.0
+
+    def frames(start=0):
+        for k in range(start, len(poses)):
+            R, t = poses[k]
+            flow = None
+            if photo is not None and photo.motion_blur_frac > 0.0 and k > 0:
+                flow = _flow_px(cam, *poses[k - 1], *poses[k])
+            left = render(scene, R, t, cam, max_depth=max_depth)
+            left = apply_photometry(left, photo, seed, k, flow_px=flow)
+            if stereo:
+                right = render(
+                    scene, R, t - np.array([b, 0.0, 0.0]), cam,
+                    max_depth=max_depth,
+                )
+                right = apply_photometry(
+                    right, photo, seed, k, flow_px=flow, noise_stream=1
                 )
                 yield k, left, right
             else:
@@ -481,6 +755,7 @@ def render_stereo_sequence(
     n_points: int = 500,
     seed: int = 0,
     step: float = 0.06,
+    photo: Optional[Photometry] = None,
 ):
     """Rectified stereo pairs: right camera displaced by the baseline along
     the camera x-axis (t_right = t_left - [b, 0, 0] in camera coords)."""
@@ -489,7 +764,13 @@ def render_stereo_sequence(
     poses = look_ahead_trajectory(n_frames, step=step)
     b = cam.baseline
     lefts, rights = [], []
-    for R, t in poses:
-        lefts.append(render(scene, R, t, cam))
-        rights.append(render(scene, R, t - np.array([b, 0.0, 0.0]), cam))
+    for k, (R, t) in enumerate(poses):
+        flow = None
+        if photo is not None and photo.motion_blur_frac > 0.0 and k > 0:
+            flow = _flow_px(cam, *poses[k - 1], *poses[k])
+        lefts.append(apply_photometry(
+            render(scene, R, t, cam), photo, seed, k, flow_px=flow))
+        rights.append(apply_photometry(
+            render(scene, R, t - np.array([b, 0.0, 0.0]), cam),
+            photo, seed, k, flow_px=flow, noise_stream=1))
     return np.stack(lefts), np.stack(rights), poses, scene

@@ -21,12 +21,25 @@ running drive can be inspected, and the final summary to --out.
 import dataclasses
 import json
 import os
+import pickle
 import sys
 import time
 
 import numpy as np
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+# Persistent compilation cache: the 850 m drive died once to a host
+# XLA-CPU LLVM segfault under compile pressure (see PERF.md); caching
+# compiled executables across (resumed) runs removes most of that
+# pressure and makes resume restarts cheap.
+os.environ.setdefault(
+    "JAX_COMPILATION_CACHE_DIR", os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        ".jax_cache_cpu",
+    )
+)
+os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "0")
 
 
 def main(argv):
@@ -48,6 +61,8 @@ def main(argv):
     frac = float(flags.get("--frac", 1.18))
     max_depth = float(flags.get("--max-depth", 16.0))
     out_path = flags.get("--out", "scale_drive.json")
+    ckpt_every = int(flags.get("--ckpt-every", 200))
+    resume = "--resume" in flags
     if flags.get("--cpu", True):
         import jax
 
@@ -81,16 +96,66 @@ def main(argv):
         cfg.camera, n_frames=n_frames, n_points=n_points, seed=7,
         r0=r0, frac=frac, max_depth=max_depth, stereo=stereo,
     )
-    log = open(out_path + ".log", "w")
+
+    # ---- Checkpoint / resume ------------------------------------------
+    # Long CPU drives have died to host XLA-CPU LLVM segfaults near the
+    # end (PERF.md); periodic map+trajectory checkpoints let a relaunch
+    # with --resume skip the completed prefix: the map is reloaded via
+    # models/serialization (keyframes, points, covisibility, loop edges),
+    # the trajectory entries are restored verbatim (they resolve against
+    # the live map, so later loop corrections still apply to them), and
+    # the tracker relocalizes into the loaded map on the next frame —
+    # the same recovery path a kidnapped tracker uses.
+    ckpt_map = out_path + ".ckpt.npz"
+    ckpt_aux = out_path + ".ckpt.pkl"
 
     sys_ = System(cfg, async_mapping=use_async)
-    t_start = time.perf_counter()
     frame_dt = np.zeros(n_frames)
     kf_count = np.zeros(n_frames, np.int32)
     pt_count = np.zeros(n_frames, np.int32)
+    start_frame = 0
+    prev_wall = 0.0
     render_s = 0.0
+    if resume and os.path.exists(ckpt_map) and os.path.exists(ckpt_aux):
+        with open(ckpt_aux, "rb") as f:
+            aux = pickle.load(f)
+        start_frame = aux["frame"] + 1
+        sys_.load_map(ckpt_map)
+        sys_.tracker.trajectory = aux["trajectory"]
+        if sys_.loop_closer is not None:
+            sys_.loop_closer.n_loops_closed = aux["n_loops_closed"]
+        n_prev = min(start_frame, n_frames)
+        frame_dt[:n_prev] = aux["frame_dt"][:n_prev]
+        kf_count[:n_prev] = aux["kf_count"][:n_prev]
+        pt_count[:n_prev] = aux["pt_count"][:n_prev]
+        prev_wall = aux["track_wall_s"]
+        render_s = aux["render_wall_s"]
+        print(f"[resume] frame {start_frame}, "
+              f"{sys_.map.n_keyframes()} KFs, "
+              f"{int(sys_.map.pt_valid.sum())} points", flush=True)
+
+    def write_ckpt(k):
+        sys_.save_map(ckpt_map + ".tmp.npz")
+        os.replace(ckpt_map + ".tmp.npz", ckpt_map)
+        aux = {
+            "frame": k,
+            "trajectory": sys_.tracker.trajectory,
+            "n_loops_closed": (sys_.loop_closer.n_loops_closed
+                               if sys_.loop_closer else 0),
+            "frame_dt": frame_dt[:k + 1],
+            "kf_count": kf_count[:k + 1],
+            "pt_count": pt_count[:k + 1],
+            "track_wall_s": prev_wall + time.perf_counter() - t_start,
+            "render_wall_s": render_s,
+        }
+        with open(ckpt_aux + ".tmp", "wb") as f:
+            pickle.dump(aux, f)
+        os.replace(ckpt_aux + ".tmp", ckpt_aux)
+
+    log = open(out_path + ".log", "a" if start_frame else "w")
+    t_start = time.perf_counter()
     t_r0 = time.perf_counter()
-    for item in frames():
+    for item in frames(start=start_frame):
         t_r1 = time.perf_counter()
         render_s += t_r1 - t_r0
         t0 = time.perf_counter()
@@ -130,7 +195,7 @@ def main(argv):
                 "dt_p95_last100": float(
                     np.percentile(frame_dt[k - 99:k + 1], 95)
                 ),
-                "elapsed_s": time.perf_counter() - t_start,
+                "elapsed_s": prev_wall + time.perf_counter() - t_start,
                 "stages": {
                     n: {"count": v["count"], "mean_ms": v["mean_ms"],
                         "ema_ms": v["ema_ms"]}
@@ -146,9 +211,11 @@ def main(argv):
                 f"p95={rec['dt_p95_last100']*1e3:7.1f}ms",
                 flush=True,
             )
+        if ckpt_every > 0 and (k + 1) % ckpt_every == 0:
+            write_ckpt(k)
         t_r0 = time.perf_counter()
 
-    track_wall = time.perf_counter() - t_start - 0.0
+    track_wall = prev_wall + time.perf_counter() - t_start
     sys_.shutdown()
 
     # ---- Accuracy: scale-aligned ATE over tracked frames --------------
@@ -170,8 +237,6 @@ def main(argv):
     n_kf_final = sys_.map.n_keyframes()
     n_pt_final = int(sys_.map.pt_valid.sum())
     try:
-        import os
-
         os.environ["ORB_DISTRIBUTED_GBA"] = "1"
         t0 = time.perf_counter()
         sys_.loop_closer.run_global_ba(anchor_kf=0, n_iters=5)

@@ -259,9 +259,9 @@ class TestBruteForceVsNodeBucketed:
         assert voc is not None
         fa, fb, gt_a, gt_b = self._frames_with_gt()
 
-        # Node ids at the FeatureVector level (levels_up=2 on the L=5
-        # tree — the proportional counterpart of the reference's
-        # levelsup=4 on L=6, Frame::ComputeBoW src/Frame.cc:462-469).
+        # Node ids at the FeatureVector level (levels_up=2 on the
+        # bundled L=6 tree; the reference uses levelsup=4 on its L=6
+        # ORBvoc, Frame::ComputeBoW src/Frame.cc:462-469).
         _, nodes_a = voc.transform(fa.desc, fa.valid)
         _, nodes_b = voc.transform(fb.desc, fb.valid)
 

@@ -136,8 +136,14 @@ class TestViewerLoop:
         vl.follow_camera = False
         time.sleep(0.05)
 
-        # Pause / release (reference RequestStop/Release :203-227).
+        # Pause / release (reference RequestStop → isStopped handshake,
+        # src/Viewer.cc:203-227): the stop is asynchronous, so poll
+        # is_stopped before sampling the frozen render count.
         vl.request_stop()
+        deadline = time.time() + 2.0
+        while not vl.is_stopped() and time.time() < deadline:
+            time.sleep(0.005)
+        assert vl.is_stopped()
         n = vl.n_rendered
         time.sleep(0.1)
         assert vl.n_rendered == n
