@@ -525,50 +525,59 @@ class LocalMapper:
             from orb_slam2_commit_tpu.slam import jit_mapper
             from orb_slam2_commit_tpu.slam.tracking import _round_up_pow2
 
-            B = _round_up_pow2(len(targets), 4)
-            P = _round_up_pow2(kf_pts.size, 256)
-            pt_f32 = np.zeros((P, jit_mapper.FUSE_PT_COLS), np.float32)
-            pt_f32[: kf_pts.size, 0:3] = self.map.pt_pos[kf_pts]
-            pt_f32[: kf_pts.size, 3:6] = self.map.pt_normal[kf_pts]
-            pt_f32[: kf_pts.size, 6] = self.map.pt_min_dist[kf_pts]
-            pt_f32[: kf_pts.size, 7] = self.map.pt_max_dist[kf_pts]
-            pt_f32[: kf_pts.size, 8] = 1.0
-            pt_desc = np.zeros((P, 8), np.uint32)
-            pt_desc[: kf_pts.size] = self.map.pt_desc[kf_pts]
-            n = self.map.n_feat
-            tgt_feat = np.zeros((B, n, jit_mapper.FUSE_FEAT_COLS), np.float32)
-            tgt_desc = np.zeros((B, n, 8), np.uint32)
-            tgt_meta = np.zeros((B, jit_mapper.FUSE_TGT_COLS), np.float32)
-            for b, tk in enumerate(targets):
-                tgt_feat[b, :, 0:2] = self.map.kf_xy[tk]
-                tgt_feat[b, :, 2] = self.map.kf_octave[tk]
-                tgt_feat[b, :, 3] = self.map.kf_feat_valid[tk]
-                tgt_desc[b] = self.map.kf_desc[tk]
-                tgt_meta[b, 0:9] = self.map.kf_pose_R[tk].reshape(-1)
-                tgt_meta[b, 9:12] = self.map.kf_pose_t[tk]
-                tgt_meta[b, 12] = 1.0
-            idx_b = np.asarray(jit_mapper.fused_fuse_forward_jit(
-                jnp.asarray(pt_f32), jnp.asarray(pt_desc),
-                jnp.asarray(tgt_feat), jnp.asarray(tgt_desc),
-                jnp.asarray(tgt_meta), self.config,
-            )).astype(np.int64)
-            for b, tk in enumerate(targets):
-                merge_matches(tk, kf_pts, idx_b[b, : kf_pts.size])
+            with self._timed("map_fuse_fwd"):
+                B = _round_up_pow2(len(targets), 4)
+                P = _round_up_pow2(kf_pts.size, 256)
+                pt_f32 = np.zeros((P, jit_mapper.FUSE_PT_COLS), np.float32)
+                pt_f32[: kf_pts.size, 0:3] = self.map.pt_pos[kf_pts]
+                pt_f32[: kf_pts.size, 3:6] = self.map.pt_normal[kf_pts]
+                pt_f32[: kf_pts.size, 6] = self.map.pt_min_dist[kf_pts]
+                pt_f32[: kf_pts.size, 7] = self.map.pt_max_dist[kf_pts]
+                pt_f32[: kf_pts.size, 8] = 1.0
+                pt_desc = np.zeros((P, 8), np.uint32)
+                pt_desc[: kf_pts.size] = self.map.pt_desc[kf_pts]
+                n = self.map.n_feat
+                tgt_feat = np.zeros(
+                    (B, n, jit_mapper.FUSE_FEAT_COLS), np.float32
+                )
+                tgt_desc = np.zeros((B, n, 8), np.uint32)
+                tgt_meta = np.zeros((B, jit_mapper.FUSE_TGT_COLS), np.float32)
+                ti = np.asarray(targets)
+                nt = ti.size
+                tgt_feat[:nt, :, 0:2] = self.map.kf_xy[ti]
+                tgt_feat[:nt, :, 2] = self.map.kf_octave[ti]
+                tgt_feat[:nt, :, 3] = self.map.kf_feat_valid[ti]
+                tgt_desc[:nt] = self.map.kf_desc[ti]
+                tgt_meta[:nt, 0:9] = self.map.kf_pose_R[ti].reshape(nt, 9)
+                tgt_meta[:nt, 9:12] = self.map.kf_pose_t[ti]
+                tgt_meta[:nt, 12] = 1.0
+                idx_b = np.asarray(jit_mapper.fused_fuse_forward_jit(
+                    jnp.asarray(pt_f32), jnp.asarray(pt_desc),
+                    jnp.asarray(tgt_feat), jnp.asarray(tgt_desc),
+                    jnp.asarray(tgt_meta), self.config,
+                )).astype(np.int64)
+            with self._timed("map_fuse_merge"):
+                for b, tk in enumerate(targets):
+                    merge_matches(tk, kf_pts, idx_b[b, : kf_pts.size])
         else:
             for tk in targets:
                 fuse_into(tk, kf_pts)
         # Reverse: fuse neighbor points into this KF (already a single
         # dispatch over the union point set).
         if targets:
-            neigh_pts = np.unique(
-                np.concatenate([self.map.kf_point_idx[tk] for tk in targets])
-            )
-            neigh_pts = neigh_pts[neigh_pts >= 0]
-            fuse_into(kf, neigh_pts)
+            with self._timed("map_fuse_rev"):
+                neigh_pts = np.unique(
+                    np.concatenate(
+                        [self.map.kf_point_idx[tk] for tk in targets]
+                    )
+                )
+                neigh_pts = neigh_pts[neigh_pts >= 0]
+                fuse_into(kf, neigh_pts)
 
-        self.map.update_covisibility(kf)
-        for tk in targets:
-            self.map.update_covisibility(tk)
+        with self._timed("map_fuse_cov"):
+            self.map.update_covisibility(kf)
+            for tk in targets:
+                self.map.update_covisibility(tk)
 
     # ------------------------------------------------------------------
 

@@ -54,13 +54,20 @@ class System:
         if vocabulary is False:
             vocabulary = None
         # Monocular initialization extracts 2x features, like the
-        # reference's dedicated init extractor (src/Tracking.cc:120-126).
-        self.init_config = dataclasses.replace(
-            config,
-            orb=dataclasses.replace(
-                config.orb, n_features=2 * config.orb.n_features
-            ),
-        )
+        # reference's dedicated init extractor (src/Tracking.cc:121-126 —
+        # built ONLY for the monocular sensor, so stereo/RGB-D must not
+        # pay the doubled map feature capacity: it previously inflated
+        # every per-keyframe array, fuse batch and BA gather by 2x on
+        # KITTI-class stereo drives).
+        if config.sensor == "monocular":
+            self.init_config = dataclasses.replace(
+                config,
+                orb=dataclasses.replace(
+                    config.orb, n_features=2 * config.orb.n_features
+                ),
+            )
+        else:
+            self.init_config = config
         n_feat = max(
             self._n_features(config), self._n_features(self.init_config)
         )

@@ -45,9 +45,15 @@ from orb_slam2_commit_tpu.utils import synthetic
 from orb_slam2_commit_tpu.utils.config import synthetic_config
 
 
-def place_frames(n_places: int = 40, seed: int = 0):
+def place_frames(n_places: int = 40, seed: int = 0, noisy: bool = False):
     """(db_frame_desc, query_desc) per place: two viewpoints of each
-    rendered scene, full extraction pipeline, engine feature budget."""
+    rendered scene, full extraction pipeline, engine feature budget.
+
+    noisy=True degrades the QUERY view with the camera model
+    (sigma=4 read + shot noise, alternating 0.8x/1.2x exposure shifts)
+    while the database view stays clean — the asymmetric re-observation
+    a relocalizing/loop-closing tracker actually faces (VERDICT r04
+    missing #2: retrieval precision was only ever measured noise-free)."""
     cfg = synthetic_config(width=512, height=384, n_features=1200)
     db, queries = [], []
     for s in range(n_places):
@@ -56,8 +62,19 @@ def place_frames(n_places: int = 40, seed: int = 0):
             step=0.06, motion="sweep" if s % 2 else "forward",
             depth_range=(2.0, 8.0), spread=4.0,
         )
+        q_img = images[-1]
+        if noisy:
+            gain = 0.8 if s % 2 else 1.2
+            ph = synthetic.Photometry(
+                noise_sigma=4.0, shot_noise=2.0,
+                gain_range=(gain, gain),
+                bias_range=(-5.0, 5.0),
+            )
+            q_img = synthetic.apply_photometry(
+                q_img, ph, seed=2000 + s, frame_idx=0
+            )
         f0 = make_frame(images[0], 0, 0.0, cfg)
-        f1 = make_frame(images[-1], 1, 1.0, cfg)   # viewpoint change
+        f1 = make_frame(q_img, 1, 1.0, cfg)   # viewpoint change
         db.append(f0.desc[f0.valid])
         queries.append(f1.desc[f1.valid])
         print(f"place {s}: db {db[-1].shape[0]} / q {queries[-1].shape[0]}",
@@ -117,17 +134,21 @@ def eval_depth(voc, db, queries, depth: int):
 def main():
     # Optional: evaluate a specific vocabulary file (e.g. the L=6 train)
     # instead of the shipped default; second arg = output json path.
-    if len(sys.argv) > 1:
+    noisy = "--noise" in sys.argv
+    args = [a for a in sys.argv[1:] if a != "--noise"]
+    if args:
         from orb_slam2_commit_tpu.models.vocabulary import BinaryVocabulary
 
-        voc = BinaryVocabulary.load_npz(sys.argv[1])
+        voc = BinaryVocabulary.load_npz(args[0])
     else:
         voc = default_vocabulary()
-    out_path = sys.argv[2] if len(sys.argv) > 2 else "VOCAB_DEPTH.json"
+    out_path = args[1] if len(args) > 1 else (
+        "VOCAB_NOISY.json" if noisy else "VOCAB_DEPTH.json"
+    )
     assert voc is not None
-    db, queries = place_frames()
+    db, queries = place_frames(noisy=noisy)
     out = {"vocab_words": int(voc.n_words), "k": voc.k, "L": voc.levels,
-           "n_places": len(db),
+           "n_places": len(db), "noisy_queries": noisy,
            "feature_budget": int(np.mean([d.shape[0] for d in db])),
            "depths": []}
     for depth in range(2, voc.levels + 1):
