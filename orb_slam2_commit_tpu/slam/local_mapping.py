@@ -489,12 +489,25 @@ class LocalMapper:
             pt_ids = pt_ids[self.map.pt_valid[pt_ids]]
             if pt_ids.size == 0:
                 return
+            # Bucket the point count: every keyframe has a different
+            # neighborhood size, and an exact-shaped dispatch here
+            # recompiled per keyframe — measured 2.5 s/KF through the
+            # remote tunnel and the dominant share of the "flat-but-big"
+            # map_fuse cost on the CPU drives (PROFILE_DRIVE_TPU.json).
+            from orb_slam2_commit_tpu.slam.tracking import _round_up_pow2
+
+            n_real = pt_ids.size
+            P = _round_up_pow2(n_real, 256)
+            pad = P - n_real
+            ids_p = np.concatenate([pt_ids, np.zeros(pad, pt_ids.dtype)])
+            valid = np.zeros(P, bool)
+            valid[:n_real] = True
             info = matchers.frustum_check(
-                jnp.asarray(self.map.pt_pos[pt_ids]),
-                jnp.asarray(self.map.pt_normal[pt_ids]),
-                jnp.asarray(self.map.pt_min_dist[pt_ids]),
-                jnp.asarray(self.map.pt_max_dist[pt_ids]),
-                jnp.ones(pt_ids.size, bool),
+                jnp.asarray(self.map.pt_pos[ids_p]),
+                jnp.asarray(self.map.pt_normal[ids_p]),
+                jnp.asarray(self.map.pt_min_dist[ids_p]),
+                jnp.asarray(self.map.pt_max_dist[ids_p]),
+                jnp.asarray(valid),
                 jnp.asarray(self.map.kf_pose_R[target_kf]),
                 jnp.asarray(self.map.kf_pose_t[target_kf]),
                 cam.fx, cam.fy, cam.cx, cam.cy,
@@ -503,7 +516,7 @@ class LocalMapper:
                 scale=self.config.orb.scale_factor,
             )
             m = matchers.match_fuse(
-                info, jnp.asarray(self.map.pt_desc[pt_ids]),
+                info, jnp.asarray(self.map.pt_desc[ids_p]),
                 jnp.asarray(self.map.kf_xy[target_kf]),
                 jnp.asarray(self.map.kf_desc[target_kf]),
                 jnp.asarray(self.map.kf_octave[target_kf]),
@@ -511,7 +524,9 @@ class LocalMapper:
                 n_levels=self.config.orb.n_levels,
                 scale=self.config.orb.scale_factor,
             )
-            merge_matches(target_kf, pt_ids, np.asarray(m.idx))
+            merge_matches(
+                target_kf, pt_ids, np.asarray(m.idx)[:n_real]
+            )
 
         kf_pts = self.map.kf_point_idx[kf]
         kf_pts = np.unique(kf_pts[kf_pts >= 0])

@@ -289,14 +289,28 @@ class LoopCloser:
             # Match by window + descriptor against current KF features.
             total_feat, total_pid = [], []
             if in_img.sum() >= 1:
+                # Bucket the point count — loop neighborhoods differ per
+                # closure and an exact shape would recompile each time
+                # (same hazard as the mapper's reverse fuse).
+                from orb_slam2_commit_tpu.slam.tracking import _round_up_pow2
+
+                n_real = loop_pts.size
+                P = _round_up_pow2(n_real, 256)
+                pad = P - n_real
+
+                def padv(a, fill=0):
+                    return np.concatenate([
+                        a, np.full((pad,) + a.shape[1:], fill, a.dtype)
+                    ])
+
                 m2 = matchers.match_fuse(
                     matchers.FrustumInfo(
-                        visible=jnp.asarray(in_img),
-                        proj=jnp.asarray(proj),
-                        pred_octave=jnp.zeros(loop_pts.size, jnp.int32),
-                        view_cos=jnp.ones(loop_pts.size),
+                        visible=jnp.asarray(padv(in_img)),
+                        proj=jnp.asarray(padv(proj)),
+                        pred_octave=jnp.zeros(P, jnp.int32),
+                        view_cos=jnp.ones(P),
                     ),
-                    jnp.asarray(self.map.pt_desc[loop_pts]),
+                    jnp.asarray(padv(self.map.pt_desc[loop_pts])),
                     jnp.asarray(self.map.kf_xy[kf]),
                     jnp.asarray(self.map.kf_desc[kf]),
                     jnp.asarray(self.map.kf_octave[kf]),
@@ -305,7 +319,7 @@ class LoopCloser:
                     n_levels=self.config.orb.n_levels,
                     scale=self.config.orb.scale_factor,
                 )
-                i2 = np.asarray(m2.idx)
+                i2 = np.asarray(m2.idx)[:n_real]
                 r2 = np.where(i2 >= 0)[0]
                 total_feat = i2[r2].tolist()
                 total_pid = loop_pts[r2].tolist()

@@ -126,10 +126,18 @@ class Tracker:
             jnp.asarray(R0), jnp.asarray(t0), jnp.asarray(pts), obs,
             cam.fx, cam.fy, cam.cx, cam.cy, cam.bf,
         )
+        R_out, t_out = np.asarray(res.R), np.asarray(res.t)
+        if not (np.all(np.isfinite(R_out)) and np.all(np.isfinite(t_out))):
+            # A degenerate solve (e.g. duplicated zero-parallax bindings)
+            # can return NaNs from the device; report failure with the
+            # initial pose instead of letting a NaN rotation reach
+            # orthonormalize_rotation's SVD (observed crash: replaying
+            # the just-tracked frame in localization mode).
+            return np.asarray(R0), np.asarray(t0), np.zeros_like(bound), 0
         inliers = np.asarray(res.inliers)
         # Unbind outlier observations (reference: src/Tracking.cc:1119-1133).
         frame.point_ids = np.where(bound & ~inliers, INVALID, frame.point_ids)
-        return np.asarray(res.R), np.asarray(res.t), inliers, int(res.n_inliers)
+        return R_out, t_out, inliers, int(res.n_inliers)
 
     # ------------------------------------------------------------------
     # Initialization (monocular)
@@ -396,9 +404,11 @@ class Tracker:
             dev_feat=dev_feat,
             dev_desc=dev_desc,
         )
-        n_matches = int(meta[12])
-        n_in = int(meta[13])
-        if n_matches < 20:
+        n_matches = int(meta[12]) if np.isfinite(meta[12]) else 0
+        n_in = int(meta[13]) if np.isfinite(meta[13]) else 0
+        if n_matches < 20 or not np.all(np.isfinite(meta[0:12])):
+            # Non-finite device pose (degenerate solve) = motion failure;
+            # the staged ladder (ref-KF / reloc) takes over.
             return frame, False
         binding = feat[:, 10].astype(np.int32)
         pid = np.where(

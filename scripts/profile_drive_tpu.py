@@ -136,17 +136,23 @@ def main(argv):
 
     # --- Trace 2: localization-mode replay of the SAME frames ---------
     # (tracking-only device cost on the same map for the subtraction).
+    # Ping-pong from the MOST RECENT frame backward so the motion model
+    # stays consistent — a forward re-sweep from n_warm would jump the
+    # pose and pollute the trace with relocalizations (measured: 7.4
+    # ms/frame of EPnP in the first cut of this script).
     sys_.activate_localization_mode()
-    for n in range(5):   # warm localization executables
-        i = n_warm + n
-        sys_.track_stereo(pre[i][0], pre[i][1], 300.0 + n / 30.0)
+    order = (list(range(n_total - 1, n_warm, -1))
+             + list(range(n_warm + 1, n_total)))
+    replay = (order * ((n_trace // len(order)) + 1))[:n_trace]
+    for n, j in enumerate(replay[:6]):   # warm localization executables
+        sys_.track_stereo(pre[j][0], pre[j][1], 300.0 + n / 30.0)
+    lost_before = sum(e.lost for e in sys_.tracker.trajectory)
     trace_dir2 = "traces/drive_tpu_loc"
     os.makedirs(trace_dir2, exist_ok=True)
     t0 = time.perf_counter()
     jax.profiler.start_trace(trace_dir2)
-    for n in range(n_trace):
-        i = n_warm + n
-        sys_.track_stereo(pre[i][0], pre[i][1], 400.0 + n / 30.0)
+    for n, j in enumerate(replay):
+        sys_.track_stereo(pre[j][0], pre[j][1], 400.0 + n / 30.0)
     jax.profiler.stop_trace()
     wall_loc = time.perf_counter() - t0
     planes_loc = parse_xplane(trace_dir2)
@@ -154,6 +160,9 @@ def main(argv):
         "wall_s": wall_loc,
         "wall_ms_per_frame": wall_loc * 1e3 / n_trace,
         "final_state": sys_.tracking_state().name,
+        "lost_frames_in_trace": int(
+            sum(e.lost for e in sys_.tracker.trajectory) - lost_before
+        ),
         "device": device_busy(planes_loc, n_trace),
     }
 

@@ -258,6 +258,9 @@ def main(argv):
         "n_points": n_pt_final,
         "n_loops_closed": (sys_.loop_closer.n_loops_closed
                            if sys_.loop_closer else 0),
+        "corrections": list(getattr(
+            sys_.loop_closer, "correction_stats", []
+        ) if sys_.loop_closer else []),
         "lost_frames": int(lost.sum()),
         "ate_rmse": float(rmse),
         "path_len": path_len,
