@@ -169,16 +169,38 @@ def main(argv):
     def total_busy(block):
         return sum(v["busy_ms_per_frame"] for v in block["device"].values())
 
+    # Attribute tracking vs mapping INSIDE the mapping-mode trace by op
+    # name: the production tracking path is the fused frontend +
+    # local-map track + pose refinement; everything else on the device
+    # during mapping mode is the mapper (triangulation, fuse, local BA)
+    # + loop stack. (The localization-mode trace deliberately runs the
+    # STAGED tracking route — temporal-VO/mbVO semantics — so a
+    # mapping-minus-localization subtraction would compare different
+    # tracking implementations; it is reported as secondary evidence.)
+    TRACK_OPS = ("motion_track", "local_map_track", "pose_optimization")
+    track_busy = 0.0
+    for v in summary["mapping_mode"]["device"].values():
+        for op, ms in v["top_ops_ms"]:
+            if any(t in op for t in TRACK_OPS):
+                track_busy += ms / n_trace
     map_busy = total_busy(summary["mapping_mode"])
     loc_busy = total_busy(summary["localization_mode"])
+    kf_cadence = summary["mapping_mode"]["kf_cadence_frames"]
     summary["derived"] = {
         "mapping_mode_busy_ms_per_frame": map_busy,
-        "tracking_only_busy_ms_per_frame": loc_busy,
-        "amortized_mapping_busy_ms_per_frame": map_busy - loc_busy,
+        "tracking_busy_ms_per_frame_in_mapping_trace": track_busy,
+        "mapper_and_loop_busy_ms_per_frame": map_busy - track_busy,
+        "mapper_and_loop_busy_ms_per_keyframe":
+            (map_busy - track_busy) * kf_cadence,
+        "staged_localization_replay_busy_ms_per_frame": loc_busy,
         "note": (
-            "device busy = serial no-overlap bound per frame; co-located "
-            "fps >= 1000 / mapping_mode_busy; mapping runs on the async "
-            "worker off the tracking critical path in production (P2)"
+            "device busy = serial no-overlap bound; tracking attributed "
+            "by op name inside the mapping-mode trace (fused frontend + "
+            "local-map track + pose opt); mapping runs on the async "
+            "worker off the tracking critical path in production (P2), "
+            "and this segment's keyframe cadence (1 per "
+            f"{kf_cadence:.1f} frames) is far denser than steady-state "
+            "drives (1 per ~4-10 frames)"
         ),
     }
     summary["stage_wall"] = {
