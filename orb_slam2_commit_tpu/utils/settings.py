@@ -85,8 +85,9 @@ def config_from_settings(
     """Build a SLAMConfig from a reference-style settings YAML.
 
     Image size is not stored in the reference YAMLs (it comes from the
-    images); pass width/height, or rely on Camera.width/Camera.height keys
-    if present.
+    images), so drivers pass each dataset's canonical width/height as the
+    fallback — but explicit Camera.width/Camera.height keys win when the
+    YAML carries them (miniature on-disk datasets, utils/mini_dataset.py).
     """
     s = parse_opencv_yaml(path)
     cam = CameraConfig(
@@ -94,8 +95,8 @@ def config_from_settings(
         fy=float(s["Camera.fy"]),
         cx=float(s["Camera.cx"]),
         cy=float(s["Camera.cy"]),
-        width=int(width or s.get("Camera.width", 640)),
-        height=int(height or s.get("Camera.height", 480)),
+        width=int(s.get("Camera.width", width or 640)),
+        height=int(s.get("Camera.height", height or 480)),
         fps=float(s.get("Camera.fps", 30.0)),
         k1=float(s.get("Camera.k1", 0.0)),
         k2=float(s.get("Camera.k2", 0.0)),
