@@ -21,6 +21,19 @@ import pytest  # noqa: E402
 jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_enable_x64", True)
 
+# Persistent on-disk compile cache: the suite's wall time is dominated by
+# XLA-CPU compilation (measured: the loop-pipeline fixture spends ~70% of
+# its first-40-frame window in one-time compiles; steady state is
+# ~0.5 s/frame), and the per-module clear_caches below re-triggers it.
+# With the disk cache, cleared/repeat compiles deserialize instead of
+# re-running LLVM — same mechanism bench.py uses through the TPU tunnel.
+jax.config.update(
+    "jax_compilation_cache_dir",
+    os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+                 ".jax_cache_cpu"),
+)
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
+
 assert jax.device_count() == 8, jax.devices()
 
 
