@@ -80,13 +80,14 @@ def main(argv):
             yaml, sensor="stereo", width=752, height=480
         )
         s = settings.parse_opencv_yaml(yaml)
+        w, h = cfg.camera.width, cfg.camera.height
         maps_l = datasets.rectify_maps(
             s["LEFT.K"], s["LEFT.D"].reshape(-1), s["LEFT.R"],
-            s["LEFT.P"][:3, :3], 752, 480,
+            s["LEFT.P"][:3, :3], w, h,
         )
         maps_r = datasets.rectify_maps(
             s["RIGHT.K"], s["RIGHT.D"].reshape(-1), s["RIGHT.R"],
-            s["RIGHT.P"][:3, :3], 752, 480,
+            s["RIGHT.P"][:3, :3], w, h,
         )
     else:
         print(__doc__)

@@ -88,6 +88,42 @@ def write_settings_yaml(path: str, cfg: SLAMConfig,
     return path
 
 
+def _matrix_block(name: str, arr: np.ndarray) -> List[str]:
+    a = np.asarray(arr, dtype=float)
+    data = ", ".join(f"{v:.12g}" for v in a.reshape(-1))
+    return [
+        f"{name}: !!opencv-matrix",
+        f"   rows: {a.shape[0]}",
+        f"   cols: {a.shape[1]}",
+        "   dt: d",
+        f"   data: [{data}]",
+    ]
+
+
+def append_euroc_stereo_blocks(
+    yaml_path: str,
+    K_l: np.ndarray, D_l: np.ndarray, R_l: np.ndarray, P_l: np.ndarray,
+    K_r: np.ndarray, D_r: np.ndarray, R_r: np.ndarray, P_r: np.ndarray,
+) -> str:
+    """Append the LEFT.*/RIGHT.* opencv-matrix blocks the euroc-stereo
+    driver consumes for online rectification (the schema of
+    Examples/Stereo/EuRoC.yaml; stereo_euroc.cc:55-98). K/D describe the
+    RAW cameras, R rotates raw-camera rays into the rectified frame
+    (cv::initUndistortRectifyMap convention), P is the rectified
+    projection — its pinhole must match the Camera.* block."""
+    lines: List[str] = [""]
+    for name, arr in (
+        ("LEFT.K", K_l), ("LEFT.D", np.asarray(D_l).reshape(1, -1)),
+        ("LEFT.R", R_l), ("LEFT.P", P_l),
+        ("RIGHT.K", K_r), ("RIGHT.D", np.asarray(D_r).reshape(1, -1)),
+        ("RIGHT.R", R_r), ("RIGHT.P", P_r),
+    ):
+        lines += _matrix_block(name, arr)
+    with open(yaml_path, "a") as f:
+        f.write("\n".join(lines) + "\n")
+    return yaml_path
+
+
 def write_tum_mono(root: str, images: np.ndarray,
                    timestamps: Sequence[float]) -> str:
     """`rgb/<ts>.png` + `rgb.txt` (comment header + `ts path` rows)."""

@@ -162,6 +162,75 @@ class TestEurocMonoDriver:
         assert rmse < 0.04 * span, (rmse, span)
 
 
+def _rot(yaw=0.0, pitch=0.0, roll=0.0):
+    cy, sy = np.cos(yaw), np.sin(yaw)
+    cp, sp = np.cos(pitch), np.sin(pitch)
+    cr, sr = np.cos(roll), np.sin(roll)
+    Ry = np.array([[cy, 0, sy], [0, 1, 0], [-sy, 0, cy]])
+    Rx = np.array([[1, 0, 0], [0, cp, -sp], [0, sp, cp]])
+    Rz = np.array([[cr, -sr, 0], [sr, cr, 0], [0, 0, 1]])
+    return Rz @ Rx @ Ry
+
+
+class TestEurocStereoDriver:
+    """Online rectification end-to-end from disk: RAW stereo pairs are
+    rendered with per-camera mounting rotations (~1°) AND radial
+    distortion, written in the EuRoC layout, and the euroc-stereo driver
+    must rectify them from the YAML LEFT.*/RIGHT.* blocks
+    (stereo_euroc.cc:55-98) before stereo tracking can succeed at all —
+    un-rectified, the pairs violate the row-aligned epipolar assumption
+    by ~8 px and carry lens distortion."""
+
+    def test_end_to_end_from_disk(self, tmp_path):
+        import dataclasses
+
+        cfg = synthetic_config(
+            width=400, height=300, n_features=1000, sensor="stereo"
+        )
+        cam = cfg.camera
+        raw_cam = dataclasses.replace(cam, k1=-0.06, k2=0.01)
+        f, cx, cy, b = cam.fx, cam.cx, cam.cy, cam.baseline
+        rng = np.random.default_rng(9)
+        scene = synthetic.make_scene(rng, n_points=500)
+        poses = synthetic.look_ahead_trajectory(22, step=0.06)
+        d2r = np.pi / 180.0
+        Rp_l = _rot(yaw=1.2 * d2r, pitch=0.5 * d2r)
+        Rp_r = _rot(yaw=-0.8 * d2r, pitch=0.7 * d2r, roll=0.4 * d2r)
+        lefts, rights = [], []
+        for R, t in poses:
+            C_l = -R.T @ t
+            C_r = -R.T @ (t - np.array([b, 0.0, 0.0]))
+            R_l, R_r = Rp_l @ R, Rp_r @ R
+            lefts.append(synthetic.render(scene, R_l, -R_l @ C_l, raw_cam))
+            rights.append(synthetic.render(scene, R_r, -R_r @ C_r, raw_cam))
+        root = str(tmp_path / "euroc_stereo")
+        stamps = [i / cam.fps for i in range(len(poses))]
+        mini_dataset.write_euroc(
+            root, np.stack(lefts), stamps, rights=np.stack(rights)
+        )
+        yaml = mini_dataset.write_settings_yaml(
+            str(tmp_path / "EuRoC_stereo_mini.yaml"), cfg
+        )
+        K = np.array([[f, 0, cx], [0, f, cy], [0, 0, 1.0]])
+        D = np.array([-0.06, 0.01, 0.0, 0.0, 0.0])
+        P = np.hstack([K, np.zeros((3, 1))])
+        # rectify_maps: ray_cam = R_yaml^T @ ray_rect, and the raw camera
+        # was rendered with x_cam = Rp @ x_rect -> R_yaml = Rp^T.
+        mini_dataset.append_euroc_stereo_blocks(
+            yaml, K, D, Rp_l.T, P, K, D, Rp_r.T, P
+        )
+        out = str(tmp_path / "traj")
+        rc = _run_dataset_main(
+            ["euroc-stereo", root, yaml, out, "--sync", "--no-vocab"]
+        )
+        assert rc == 0
+        rmse, gt = _ate_vs_gt(
+            out + "_tum.txt", poses, cam.fps, align_scale=False
+        )
+        span = np.linalg.norm(gt[-1] - gt[0])
+        assert rmse < 0.025 * span, (rmse, span)
+
+
 class TestPngRoundTrip:
     def test_depth_png16_quantization(self, tmp_path):
         d = np.linspace(0.0, 11.9, 300 * 16).reshape(300, 16)
