@@ -47,10 +47,13 @@ def ate_so_far(sys_, poses_gt):
     if est.shape[0] < 10 or est.shape[-1] != 3:
         return float("nan")
     lost = np.asarray([e.lost for e in sys_.tracker.trajectory], bool)
-    n = est.shape[0]
+    # Clamp to the common prefix: the end-of-run kidnap probe appends a
+    # trajectory entry past the ground-truth sequence.
+    n = min(est.shape[0], len(poses_gt), lost.shape[0])
+    est, lost = est[:n], lost[:n]
     gt = np.asarray([-R.T @ t for R, t in poses_gt[:n]])
-    ok = ~lost[:n]
-    return float(traj.ate_rmse(est[ok], gt[:n][ok], align_scale=True))
+    ok = ~lost
+    return float(traj.ate_rmse(est[ok], gt[ok], align_scale=True))
 
 
 def main(argv):
@@ -234,7 +237,9 @@ def main(argv):
     final_ate = ate_so_far(sys_, poses_gt)
     gt = np.asarray([-R.T @ t for R, t in poses_gt])
     path_len = float(np.linalg.norm(np.diff(gt, axis=0), axis=1).sum())
-    lost = np.asarray([e.lost for e in sys_.tracker.trajectory], bool)
+    lost = np.asarray(
+        [e.lost for e in sys_.tracker.trajectory[:n_frames]], bool
+    )
     summary = {
         "n_frames": n_frames,
         "image": [width, height],
