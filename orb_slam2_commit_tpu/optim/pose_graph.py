@@ -8,9 +8,23 @@ strong covisibility (weight >= 100) and past loop edges; 20 LM iterations.
 Edge residual (g2o EdgeSim3, types_seven_dof_expmap.h):
     e = log_sim3( S_meas^-1 * S_i * S_j^-1 )   in R^7
 with left-multiplicative updates S <- exp(delta) * S. Per-edge 7x14
-Jacobians come from vmapped jacfwd; blocks scatter into a dense [7K, 7K]
-system solved on the MXU — the graph is small (K keyframes), density is
-cheaper than sparsity here.
+Jacobians come from vmapped jacfwd.
+
+Two solver paths, selected by graph size (static at trace time):
+
+- dense (K <= 256): blocks scatter into a [7K, 7K] system solved on the
+  MXU — for small graphs density is cheaper than sparsity.
+- pcg (K > 256): the dense system is O(K^2) memory and O(K^3) solve —
+  at the 850 m drive's 1058-keyframe closure that was 440 MB of Hessian
+  and a 69 s warm solve (scripts/bench_correction.py), 78% of the
+  measured 88.9 s correction. The sparse path never materializes H: the
+  matvec streams over the edge list (per-edge [7,7] blocks + two
+  scatter-adds), block-Jacobi preconditioned by the damped vertex
+  diagonal — the same implicit-CG shape as optim/ba.py's Schur solve
+  ("Bundle Adjustment in the Large"), which is also the form that
+  scales on TPU. Cost per CG iteration is O(E); CG needs O(graph
+  diameter) iterations to propagate the loop correction around the
+  cycle, still orders of magnitude below the dense solve.
 """
 
 from __future__ import annotations
@@ -55,14 +69,69 @@ def _edge_residual(
     return lie.sim3_log(s_e, R_e, t_e)
 
 
+def _pcg_solve(D, dscalar, Aij, edge_i, edge_j, b, lam,
+               n_cg: int, tol: float = 1e-16):
+    """Solve (H + lam diag(H) + 1e-9 I) x = b without materializing H.
+
+    D [K,7,7] vertex diagonal blocks (identity rows for unused/fixed
+    vertices already added), dscalar [K,7] = diag entries of D, Aij
+    [E,7,7] the i->j off-diagonal blocks (Ji^T Jj; the j->i block is its
+    transpose), b [K,7]. Block-Jacobi preconditioned CG."""
+    dtype = b.dtype
+    damp = lam * dscalar + 1e-9
+
+    def H_mv(x):
+        y = jnp.einsum("kab,kb->ka", D, x) + damp * x
+        y = y.at[edge_i].add(jnp.einsum("eab,eb->ea", Aij, x[edge_j]))
+        y = y.at[edge_j].add(jnp.einsum("eab,ea->eb", Aij, x[edge_i]))
+        return y
+
+    Dd = D + jnp.eye(7, dtype=dtype) * damp[:, :, None]
+    M_inv = jnp.linalg.inv(Dd)
+
+    def precond(r):
+        return jnp.einsum("kab,kb->ka", M_inv, r)
+
+    x0 = jnp.zeros_like(b)
+    r0 = b
+    z0 = precond(r0)
+    rz0 = jnp.sum(r0 * z0)
+    b_norm2 = jnp.maximum(jnp.sum(b * b), 1e-30)
+
+    def cond(state):
+        i, x, r, z, p, rz = state
+        return (i < n_cg) & (jnp.sum(r * r) > tol * b_norm2)
+
+    def body(state):
+        i, x, r, z, p, rz = state
+        Hp = H_mv(p)
+        denom = jnp.sum(p * Hp)
+        alpha = rz / jnp.where(jnp.abs(denom) > 1e-30, denom, 1e-30)
+        x = x + alpha * p
+        r = r - alpha * Hp
+        z = precond(r)
+        rz_new = jnp.sum(r * z)
+        beta = rz_new / jnp.where(jnp.abs(rz) > 1e-30, rz, 1e-30)
+        p = z + beta * p
+        return i + 1, x, r, z, p, rz_new
+
+    _, x, _, _, _, _ = jax.lax.while_loop(
+        cond, body, (jnp.int32(0), x0, r0, z0, z0, rz0)
+    )
+    return x
+
+
 def optimize_sim3_graph(
     graph: Sim3Graph,
     n_iters: int = 20,
     fix_scale: bool = False,
+    solver: str = "auto",
 ) -> Sim3Graph:
     """LM over all vertices. fix_scale freezes every sigma component
-    (stereo/RGB-D essential graph, reference bFixScale :897)."""
+    (stereo/RGB-D essential graph, reference bFixScale :897).
+    solver: "dense" | "pcg" | "auto" (pcg above 256 vertices)."""
     K = graph.s.shape[0]
+    use_pcg = solver == "pcg" or (solver == "auto" and K > 256)
     dtype = graph.t.dtype
     zero7 = jnp.zeros(7, dtype)
 
@@ -100,37 +169,53 @@ def optimize_sim3_graph(
         Ji = jnp.where(g.fixed[g.edge_i][:, None, None], 0.0, Ji)
         Jj = jnp.where(g.fixed[g.edge_j][:, None, None], 0.0, Jj)
 
-        H = jnp.zeros((K, 7, K, 7), dtype)
-        H = H.at[g.edge_i, :, g.edge_i, :].add(
-            jnp.einsum("era,erb->eab", Ji, Ji)
-        )
-        H = H.at[g.edge_j, :, g.edge_j, :].add(
-            jnp.einsum("era,erb->eab", Jj, Jj)
-        )
-        H = H.at[g.edge_i, :, g.edge_j, :].add(
-            jnp.einsum("era,erb->eab", Ji, Jj)
-        )
-        H = H.at[g.edge_j, :, g.edge_i, :].add(
-            jnp.einsum("era,erb->eab", Jj, Ji)
-        )
         b = jnp.zeros((K, 7), dtype)
         b = b.at[g.edge_i].add(jnp.einsum("era,er->ea", Ji, rw))
         b = b.at[g.edge_j].add(jnp.einsum("era,er->ea", Jj, rw))
-
-        # Fixed / unconstrained vertices -> identity rows.
-        diag_sum = jnp.abs(
-            H[jnp.arange(K), :, jnp.arange(K), :]
-        ).sum(axis=(1, 2))
-        unused = (diag_sum == 0) | graph.fixed
         eye7 = jnp.eye(7, dtype=dtype)
-        H = H.at[jnp.arange(K), :, jnp.arange(K), :].add(
-            jnp.where(unused[:, None, None], eye7, 0.0)
-        )
-        Hm = H.reshape(K * 7, K * 7)
-        Hm = Hm + lam * jnp.diag(jnp.diag(Hm)) + 1e-9 * jnp.eye(
-            K * 7, dtype=dtype
-        )
-        delta = -jnp.linalg.solve(Hm, b.reshape(K * 7)).reshape(K, 7)
+
+        if use_pcg:
+            Aij = jnp.einsum("era,erb->eab", Ji, Jj)
+            D = jnp.zeros((K, 7, 7), dtype)
+            D = D.at[g.edge_i].add(jnp.einsum("era,erb->eab", Ji, Ji))
+            D = D.at[g.edge_j].add(jnp.einsum("era,erb->eab", Jj, Jj))
+            unused = (jnp.abs(D).sum(axis=(1, 2)) == 0) | graph.fixed
+            D = D + jnp.where(unused[:, None, None], eye7, 0.0)
+            dscalar = jnp.diagonal(D, axis1=1, axis2=2)
+            # CG propagates information one edge-hop per iteration: the
+            # cap must cover the graph diameter (a loop closure's cycle
+            # is ~K long) plus conditioning headroom.
+            delta = -_pcg_solve(
+                D, dscalar, Aij, g.edge_i, g.edge_j, b, lam,
+                n_cg=4 * K + 128,
+            )
+        else:
+            H = jnp.zeros((K, 7, K, 7), dtype)
+            H = H.at[g.edge_i, :, g.edge_i, :].add(
+                jnp.einsum("era,erb->eab", Ji, Ji)
+            )
+            H = H.at[g.edge_j, :, g.edge_j, :].add(
+                jnp.einsum("era,erb->eab", Jj, Jj)
+            )
+            H = H.at[g.edge_i, :, g.edge_j, :].add(
+                jnp.einsum("era,erb->eab", Ji, Jj)
+            )
+            H = H.at[g.edge_j, :, g.edge_i, :].add(
+                jnp.einsum("era,erb->eab", Jj, Ji)
+            )
+            # Fixed / unconstrained vertices -> identity rows.
+            diag_sum = jnp.abs(
+                H[jnp.arange(K), :, jnp.arange(K), :]
+            ).sum(axis=(1, 2))
+            unused = (diag_sum == 0) | graph.fixed
+            H = H.at[jnp.arange(K), :, jnp.arange(K), :].add(
+                jnp.where(unused[:, None, None], eye7, 0.0)
+            )
+            Hm = H.reshape(K * 7, K * 7)
+            Hm = Hm + lam * jnp.diag(jnp.diag(Hm)) + 1e-9 * jnp.eye(
+                K * 7, dtype=dtype
+            )
+            delta = -jnp.linalg.solve(Hm, b.reshape(K * 7)).reshape(K, 7)
         delta = jnp.where(graph.fixed[:, None], 0.0, delta)
         if fix_scale:
             delta = delta.at[:, 6].set(0.0)
@@ -153,5 +238,5 @@ def optimize_sim3_graph(
 
 
 optimize_sim3_graph_jit = jax.jit(
-    optimize_sim3_graph, static_argnames=("n_iters", "fix_scale")
+    optimize_sim3_graph, static_argnames=("n_iters", "fix_scale", "solver")
 )

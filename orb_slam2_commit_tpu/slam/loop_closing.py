@@ -578,6 +578,11 @@ class LoopCloser:
         s = np.ones(Kv)
         R = m.kf_pose_R[valid_kfs].copy()
         t = m.kf_pose_t[valid_kfs].copy()
+        # Pad vertices/edges to pow2 buckets (padding vertices fixed,
+        # padding edges invalid): closures at different map sizes reuse
+        # one compiled graph instead of recompiling per exact shape —
+        # the same rule as every other host->device dispatch here.
+        Kp = max(8, 1 << (Kv - 1).bit_length())
         ms, mR, mt = [], [], []
         for (a, b) in raw_pairs:
             both_corrected = a in corrected_set and b in corrected_set
@@ -596,21 +601,43 @@ class LoopCloser:
 
         fixed = np.zeros(Kv, bool)
         fixed[remap[loop_kf]] = True
+        E = len(ei)
+        Ep = max(8, 1 << (E - 1).bit_length())
+        s_p = np.ones(Kp)
+        s_p[:Kv] = s
+        R_p = np.tile(np.eye(3), (Kp, 1, 1))
+        R_p[:Kv] = R
+        t_p = np.zeros((Kp, 3))
+        t_p[:Kv] = t
+        fixed_p = np.ones(Kp, bool)
+        fixed_p[:Kv] = fixed
+        ei_p = np.zeros(Ep, np.int32)
+        ei_p[:E] = ei
+        ej_p = np.zeros(Ep, np.int32)
+        ej_p[:E] = ej
+        ms_p = np.ones(Ep)
+        ms_p[:E] = ms
+        mR_p = np.tile(np.eye(3), (Ep, 1, 1))
+        mR_p[:E] = np.stack(mR)
+        mt_p = np.zeros((Ep, 3))
+        mt_p[:E] = np.stack(mt)
+        valid_p = np.zeros(Ep, bool)
+        valid_p[:E] = True
         graph = pose_graph.Sim3Graph(
-            s=jnp.asarray(s), R=jnp.asarray(R), t=jnp.asarray(t),
-            fixed=jnp.asarray(fixed),
-            edge_i=jnp.asarray(ei, jnp.int32),
-            edge_j=jnp.asarray(ej, jnp.int32),
-            meas_s=jnp.asarray(ms), meas_R=jnp.asarray(np.stack(mR)),
-            meas_t=jnp.asarray(np.stack(mt)),
-            edge_valid=jnp.ones(len(ei), bool),
+            s=jnp.asarray(s_p), R=jnp.asarray(R_p), t=jnp.asarray(t_p),
+            fixed=jnp.asarray(fixed_p),
+            edge_i=jnp.asarray(ei_p),
+            edge_j=jnp.asarray(ej_p),
+            meas_s=jnp.asarray(ms_p), meas_R=jnp.asarray(mR_p),
+            meas_t=jnp.asarray(mt_p),
+            edge_valid=jnp.asarray(valid_p),
         )
         out = pose_graph.optimize_sim3_graph_jit(
             graph, n_iters=20, fix_scale=fix_scale
         )
-        s_out = np.asarray(out.s)
-        R_out = np.asarray(out.R)
-        t_out = np.asarray(out.t)
+        s_out = np.asarray(out.s)[:Kv]
+        R_out = np.asarray(out.R)[:Kv]
+        t_out = np.asarray(out.t)[:Kv]
         # Correct points through their reference KF's Sim3 delta
         # (reference :1174-1199): each point exactly ONCE, via its first
         # valid observer. Then SE3-ify poses. Array done-mask, not a
