@@ -176,6 +176,20 @@ class TestConcurrencyStress:
         assert sys_.loop_closer is not None
         gba = sys_.loop_closer.gba_runner
         assert gba is not None
+        # Hold every GBA in flight until released: the abort-relaunch
+        # overlap must be deterministic, not a race against solve wall
+        # time (with a warm compile cache the tiny-map solve finishes
+        # between launches and `running` was never observed True).
+        import threading as _th
+
+        gate = _th.Event()
+        orig_run = gba._run
+
+        def gated_run(m, anchor_kf, n_iters, gen):
+            gate.wait(timeout=60.0)
+            return orig_run(m, anchor_kf, n_iters, gen)
+
+        gba._run = gated_run
         launched = aborted_relaunch = 0
         for i in range(images.shape[0]):
             sys_.track_monocular(images[i], i / 30.0)
@@ -186,6 +200,7 @@ class TestConcurrencyStress:
                     aborted_relaunch += 1
                 gba.launch(sys_.map, anchor_kf=0)
                 launched += 1
+        gate.set()          # release the held solves: stale gens abort
         sys_.shutdown()     # joins the last GBA: merge or clean abort
         assert launched >= 2
         assert aborted_relaunch >= 1
