@@ -7,7 +7,7 @@ essential graph -> global BA. The reference validates exactly this path
 live (src/LoopClosing.cc:115-880); this is its synthetic ground-truth
 counterpart.
 
-This is the slowest test in the suite (~15 min on the CPU mesh): one
+This is the slowest test in the suite (~2 min warm-cache / ~13 min cold-compile on the CPU mesh): one
 132-frame revisiting survey with the full vocabulary pipeline on.
 """
 
