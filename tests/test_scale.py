@@ -17,7 +17,10 @@ System on the synthetic city-block drive at that scale and gates on:
 The full drive takes ~1-2 h on a 2-core CPU host, hence opt-in; the
 always-on tests below cover the drive generator itself. Measured runs:
 scale_drive_r4_330m.json (361 KFs, ATE 0.075% of path, loop closed) and
-scale_drive_r4_850m.json.log (1036 KFs / 45.7k pts through frame 2600).
+the COMPLETE 850 m-class drive scale_drive_r5_850m.json (2800 frames,
+1058 KFs / 46k pts, loop corrected at 965 KFs, ATE 0.341% of the
+949.5 m path, zero lost frames; re-validated bit-identical on the PCG
+essential-graph path in scale_drive_r5_850m_pcg.json).
 
 Run:
   ORB_RUN_SCALE=1 python -m pytest tests/test_scale.py -q -k full_drive
